@@ -1,0 +1,256 @@
+"""CRF ops vs. independent brute-force / dense numpy oracles.
+
+The oracle builds the reference's explicit sparse index table
+(reference: ub-bonito/bonito/crf/model.py:31-36) and runs the recursions
+with plain numpy loops in float64 — an implementation independent of the
+reshape/broadcast tricks used in xna_basecaller_tpu.ops.crf.
+"""
+
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.ops import crf
+
+
+def make_idx(n_base, state_len):
+    """Transition index table: idx[j, k] = predecessor state of j for
+    column k (k=0 stay, k=i+1 move dropping base i)."""
+    ns = n_base ** state_len
+    nsd = ns // n_base
+    idx = np.zeros((ns, n_base + 1), dtype=np.int64)
+    for j in range(ns):
+        idx[j, 0] = j
+        for i in range(n_base):
+            idx[j, 1 + i] = nsd * i + j // n_base
+    return idx
+
+
+def np_logsumexp(x, axis=-1):
+    m = np.max(x, axis=axis, keepdims=True)
+    return (m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))).squeeze(axis)
+
+
+def oracle_fwd(scores, n_base, state_len, semiring="log"):
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    idx = make_idx(n_base, state_len)
+    Ms = scores.reshape(T, N, ns, n_base + 1).astype(np.float64)
+    reduce = np_logsumexp if semiring == "log" else (
+        lambda x, axis=-1: np.max(x, axis=axis))
+    alpha = np.zeros((N, ns))
+    alphas = [alpha]
+    for t in range(T):
+        vals = alpha[:, idx] + Ms[t]          # [N, ns, n_base+1]
+        alpha = reduce(vals, axis=-1)
+        alphas.append(alpha)
+    return np.stack(alphas), reduce(alpha, axis=-1)
+
+
+def oracle_bwd(scores, n_base, state_len, semiring="log"):
+    """Backward recursion via the transposed transition structure."""
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    idx = make_idx(n_base, state_len)
+    Ms = scores.reshape(T, N, ns, n_base + 1).astype(np.float64)
+    reduce = np_logsumexp if semiring == "log" else (
+        lambda x, axis=-1: np.max(x, axis=axis))
+    beta = np.zeros((N, ns))
+    betas = [beta]
+    for t in range(T - 1, -1, -1):
+        # out-transitions of k: every (j, col) with idx[j, col] == k
+        vals = np.full((N, ns, (n_base + 1) * ns), -np.inf)
+        cnt = np.zeros(ns, dtype=np.int64)
+        store = [[] for _ in range(ns)]
+        for j in range(ns):
+            for col in range(n_base + 1):
+                store[idx[j, col]].append((j, col))
+        width = max(len(s) for s in store)
+        vals = np.full((N, ns, width), -np.inf)
+        for k in range(ns):
+            for slot, (j, col) in enumerate(store[k]):
+                vals[:, k, slot] = Ms[t, :, j, col] + beta[:, j]
+        beta = reduce(vals, axis=-1)
+        betas.append(beta)
+    return np.stack(betas[::-1]), reduce(beta, axis=-1)
+
+
+def oracle_ctc_lattice(stay, move, lengths):
+    """Brute-force DP for the stay/move lattice in float64."""
+    T, N, n = stay.shape
+    out = np.zeros(N)
+    for b in range(N):
+        alpha = np.full(n, -np.inf)
+        alpha[0] = 0.0
+        for t in range(T):
+            new = np.full(n, -np.inf)
+            new[0] = alpha[0] + stay[t, b, 0]
+            for l in range(1, n):
+                new[l] = np.logaddexp(
+                    alpha[l] + stay[t, b, l], alpha[l - 1] + move[t, b, l - 1])
+            alpha = new
+        out[b] = alpha[lengths[b] - 1]
+    return out
+
+
+@pytest.mark.parametrize("n_base,state_len,T,N", [
+    (2, 2, 5, 3), (4, 2, 6, 2), (6, 3, 4, 2),
+])
+def test_logz_fwd_matches_oracle(n_base, state_len, T, N):
+    rng = np.random.default_rng(0)
+    C = (n_base + 1) * n_base ** state_len
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    got = np.asarray(crf.logz_fwd(scores, n_base, state_len))
+    _, want = oracle_fwd(scores, n_base, state_len)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("semiring", ["log", "max"])
+def test_fwd_bwd_scores_match_oracle(semiring):
+    n_base, state_len, T, N = 3, 2, 5, 2
+    rng = np.random.default_rng(1)
+    C = (n_base + 1) * n_base ** state_len
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    alphas = np.asarray(crf.forward_scores(scores, n_base, state_len, semiring))
+    betas = np.asarray(crf.backward_scores(scores, n_base, state_len, semiring))
+    want_a, logz_f = oracle_fwd(scores, n_base, state_len, semiring)
+    want_b, logz_b = oracle_bwd(scores, n_base, state_len, semiring)
+    np.testing.assert_allclose(alphas, want_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(betas, want_b, rtol=1e-5, atol=1e-5)
+    # fwd and bwd give the same partition function
+    np.testing.assert_allclose(logz_f, logz_b, rtol=1e-6)
+
+
+def test_max_le_log():
+    """Property: Viterbi score <= full partition (log semiring)."""
+    n_base, state_len, T, N = 4, 2, 8, 4
+    rng = np.random.default_rng(2)
+    C = (n_base + 1) * n_base ** state_len
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    lz_log = np.asarray(crf.logz_fwd(scores, n_base, state_len, "log"))
+    lz_max = np.asarray(crf.logz_fwd(scores, n_base, state_len, "max"))
+    assert np.all(lz_max <= lz_log + 1e-5)
+
+
+def test_posteriors_sum_to_expected_transitions():
+    """Log-semiring posteriors are edge marginals: at each t they sum to 1
+    over all transitions for each batch element."""
+    n_base, state_len, T, N = 3, 2, 6, 3
+    rng = np.random.default_rng(3)
+    C = (n_base + 1) * n_base ** state_len
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    post = np.asarray(crf.posteriors(scores, n_base, state_len, "log"))
+    sums = post.reshape(T, N, -1).sum(-1)
+    np.testing.assert_allclose(sums, np.ones((T, N)), rtol=1e-4, atol=1e-4)
+    assert post.min() >= -1e-6
+
+
+def test_max_posteriors_one_hot_path():
+    """Max-semiring posteriors mark exactly one transition per frame."""
+    n_base, state_len, T, N = 2, 2, 5, 2
+    rng = np.random.default_rng(4)
+    C = (n_base + 1) * n_base ** state_len
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    tb = np.asarray(crf.posteriors(scores, n_base, state_len, "max"))
+    sums = tb.reshape(T, N, -1).sum(-1)
+    np.testing.assert_allclose(sums, np.ones((T, N)), rtol=1e-5)
+    # path score recovered by summing traceback * scores
+    picked = (tb * scores).reshape(T, N, -1).sum((0, 2))
+    lz_max = np.asarray(crf.logz_fwd(scores, n_base, state_len, "max"))
+    np.testing.assert_allclose(picked, lz_max, rtol=1e-4, atol=1e-4)
+
+
+def test_reverse_complement_involution():
+    """rc(rc(x)) == x (property from reference crf/model.py:78-90)."""
+    for n_base, state_len in [(4, 3), (6, 3), (4, 2)]:
+        C = (n_base + 1) * n_base ** state_len
+        rng = np.random.default_rng(5)
+        scores = rng.normal(size=(3, 2, C)).astype(np.float32)
+        rc = np.asarray(crf.reverse_complement(scores, n_base, state_len))
+        rc2 = np.asarray(crf.reverse_complement(rc, n_base, state_len))
+        np.testing.assert_allclose(rc2, scores, rtol=1e-6)
+        assert not np.allclose(rc, scores)
+
+
+def test_reverse_complement_preserves_logz():
+    """Reverse-complementing the score tensor must not change logZ."""
+    n_base, state_len = 4, 2
+    C = (n_base + 1) * n_base ** state_len
+    rng = np.random.default_rng(6)
+    scores = rng.normal(size=(5, 3, C)).astype(np.float32)
+    lz = np.asarray(crf.logz_fwd(scores, n_base, state_len))
+    rc = np.asarray(crf.reverse_complement(scores, n_base, state_len))
+    lz_rc = np.asarray(crf.logz_fwd(rc, n_base, state_len))
+    np.testing.assert_allclose(lz, lz_rc, rtol=1e-5, atol=1e-5)
+
+
+def test_ctc_lattice_logz_matches_bruteforce():
+    T, N, n = 7, 4, 5
+    rng = np.random.default_rng(7)
+    stay = rng.normal(size=(T, N, n)).astype(np.float32)
+    move = rng.normal(size=(T, N, n - 1)).astype(np.float32)
+    lengths = np.array([5, 3, 4, 1], dtype=np.int32)
+    got = np.asarray(crf.ctc_lattice_logz(stay, move, lengths))
+    want = oracle_ctc_lattice(stay, move, lengths)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ctc_loss_decreases_for_matching_target():
+    """Loss should be lower for the target the scores were built to favour."""
+    n_base, state_len = 2, 2
+    T, N = 12, 1
+    ns = n_base ** state_len
+    C = (n_base + 1) * ns
+    # Build scores that strongly favour emitting target 1,2,1,2,... pattern
+    target = np.array([[1, 2, 1, 2, 1, 2]], dtype=np.int32)
+    wrong = np.array([[2, 1, 2, 1, 2, 1]], dtype=np.int32)
+    lengths = np.array([6], dtype=np.int32)
+    rng = np.random.default_rng(8)
+    scores = rng.normal(scale=0.1, size=(T, N, C)).astype(np.float32)
+
+    zt = np.clip(target[0] - 1, 0, None)
+    # boost the stay scores of the kmer states along the target
+    for i in range(len(zt) - state_len + 1):
+        state = zt[i] * n_base + zt[i + 1]
+        scores[:, 0, state * (n_base + 1)] += 3.0
+    loss_good = float(crf.ctc_loss(scores, target, lengths, n_base, state_len))
+    loss_bad = float(crf.ctc_loss(scores, wrong, lengths, n_base, state_len))
+    assert loss_good < loss_bad
+
+
+def test_normalise_zeroes_logz():
+    n_base, state_len = 4, 2
+    C = (n_base + 1) * n_base ** state_len
+    rng = np.random.default_rng(9)
+    scores = rng.normal(size=(6, 3, C)).astype(np.float32)
+    normed = crf.normalise(scores, n_base, state_len)
+    lz = np.asarray(crf.logz_fwd(normed, n_base, state_len))
+    np.testing.assert_allclose(lz, np.zeros(3), atol=1e-4)
+
+
+def test_decode_roundtrip_synthetic():
+    """Scores boosted along a random legal state path decode to exactly the
+    labels of that path (dropped-base layout, reference crf/model.py:92-100)."""
+    dist = crf.CTCCRF(state_len=2, alphabet="NACGT")
+    n_base, state_len = dist.n_base, dist.state_len
+    ns = n_base ** state_len
+    nsd = ns // n_base
+    C = (n_base + 1) * ns
+    T = 16
+    rng = np.random.default_rng(11)
+    scores = rng.normal(scale=0.05, size=(T, 1, C)).astype(np.float32)
+    state = int(rng.integers(ns))
+    expected = []
+    for t in range(T):
+        if rng.random() < 0.5:  # stay
+            scores[t, 0, state * (n_base + 1) + 0] += 10.0
+            expected.append(0)
+        else:  # legal move: new state from successors of `state`
+            b = int(rng.integers(n_base))
+            dropped = state // nsd
+            new_state = (state % nsd) * n_base + b
+            scores[t, 0, new_state * (n_base + 1) + 1 + dropped] += 10.0
+            expected.append(1 + dropped)
+            state = new_state
+    seqs = dist.decode_batch(scores)
+    want = "".join(dist.alphabet[k] for k in expected if k != 0)
+    assert seqs == [want]

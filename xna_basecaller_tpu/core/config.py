@@ -1,0 +1,158 @@
+"""Model/run configuration: TOML-backed dataclasses.
+
+Speaks the same config.toml schema as the reference model directories
+(reference: ub-bonito/bonito/models/xna_r9.4.1_e8_sup@v3.3/config.toml:1-29):
+sections [global_norm] [qscore] [input] [model] [labels] [encoder] [basecaller].
+Flags override config values at load time, and the merged config is written
+back to the training workdir so runs are self-describing (reference:
+ub-bonito/bonito/cli/train.py:111-114, util.py:282-293).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    stride: int = 5
+    activation: str = "swish"
+    features: int = 768
+    winlen: int = 19
+    scale: float = 5.0
+    rnn_type: str = "lstm"
+    blank_score: float | None = 2.0
+    num_rnn_layers: int = 5
+    first_conv_size: int = 4
+    second_conv_size: int = 16
+    extra_linear: bool = False
+    drop_rate: float = 0.0
+    drop_rate_bottom: float = 0.0
+
+
+@dataclass(frozen=True)
+class QScoreConfig:
+    bias: float = 0.0
+    scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class BasecallerConfig:
+    batchsize: int = 384
+    chunksize: int = 3600
+    overlap: int = 500
+    quantize: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    state_len: int = 3
+    labels: tuple[str, ...] = tuple("NACGTXY")
+    input_features: int = 1
+    package: str = "xna_basecaller_tpu.models.crf_model"
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    qscore: QScoreConfig = field(default_factory=QScoreConfig)
+    basecaller: BasecallerConfig = field(default_factory=BasecallerConfig)
+
+    @property
+    def alphabet(self) -> str:
+        return "".join(self.labels)
+
+    @property
+    def n_base(self) -> int:
+        return len(self.labels) - 1
+
+    @property
+    def n_state(self) -> int:
+        return self.n_base ** self.state_len
+
+    @property
+    def n_score(self) -> int:
+        return len(self.labels) * self.n_state
+
+
+def _pick(d: dict, *keys, default=None):
+    for k in keys:
+        if k in d:
+            return d[k]
+    return default
+
+
+def from_dict(raw: dict[str, Any]) -> ModelConfig:
+    enc_raw = dict(raw.get("encoder", {}))
+    enc_fields = {f.name for f in dataclasses.fields(EncoderConfig)}
+    enc = EncoderConfig(**{k: v for k, v in enc_raw.items() if k in enc_fields})
+    qs_raw = raw.get("qscore", {})
+    bc_raw = raw.get("basecaller", {})
+    bc_fields = {f.name for f in dataclasses.fields(BasecallerConfig)}
+    cfg = ModelConfig(
+        state_len=raw.get("global_norm", {}).get("state_len", 3),
+        labels=tuple(raw.get("labels", {}).get("labels", tuple("NACGTXY"))),
+        input_features=raw.get("input", {}).get("features", 1),
+        package=raw.get("model", {}).get(
+            "package", "xna_basecaller_tpu.models.crf_model"),
+        encoder=enc,
+        qscore=QScoreConfig(bias=qs_raw.get("bias", 0.0),
+                            scale=qs_raw.get("scale", 1.0)),
+        basecaller=BasecallerConfig(
+            **{k: v for k, v in bc_raw.items() if k in bc_fields}),
+    )
+    return cfg
+
+
+def to_dict(cfg: ModelConfig) -> dict[str, Any]:
+    return {
+        "global_norm": {"state_len": cfg.state_len},
+        "qscore": {"bias": cfg.qscore.bias, "scale": cfg.qscore.scale},
+        "input": {"features": cfg.input_features},
+        "model": {"package": cfg.package},
+        "labels": {"labels": list(cfg.labels)},
+        "encoder": {
+            k: v for k, v in dataclasses.asdict(cfg.encoder).items()
+            if v is not None
+        },
+        "basecaller": dataclasses.asdict(cfg.basecaller),
+    }
+
+
+def load(path: str) -> ModelConfig:
+    """Load a config.toml (accepts a model dir or a direct file path)."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "config.toml")
+    with open(path, "rb") as fh:
+        return from_dict(tomllib.load(fh))
+
+
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"%s"' % v.replace("\\", "\\\\").replace('"', '\\"')
+    if isinstance(v, (list, tuple)):
+        return "[ %s,]" % ", ".join(_toml_value(x) for x in v)
+    raise TypeError(f"unsupported TOML value: {v!r}")
+
+
+def dumps(cfg: ModelConfig | dict) -> str:
+    """Minimal TOML emitter (stdlib tomllib is read-only)."""
+    raw = to_dict(cfg) if isinstance(cfg, ModelConfig) else cfg
+    out = []
+    for section, kv in raw.items():
+        out.append(f"[{section}]")
+        for k, v in kv.items():
+            out.append(f"{k} = {_toml_value(v)}")
+        out.append("")
+    return "\n".join(out)
+
+
+def save(cfg: ModelConfig | dict, path: str) -> None:
+    if os.path.isdir(path):
+        path = os.path.join(path, "config.toml")
+    with open(path, "w") as fh:
+        fh.write(dumps(cfg))

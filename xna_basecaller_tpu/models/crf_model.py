@@ -1,0 +1,146 @@
+"""Flagship model: conv stack + alternating-direction LSTM stack + CRF head.
+
+TPU-native re-design of the reference encoder (reference: ub-bonito/bonito/
+crf/model.py:138-237, nn.py:88-153):
+
+  conv(1->4, k5) -> conv(4->16, k5) -> conv(16->768, k19, stride 5)   [N,T,C]
+  -> 5 x LSTM(768) alternating direction (reverse first)              [T,N,C]
+  -> LinearCRFEncoder: tanh * scale, fixed blank_score expansion      [T,N,Cs]
+
+Params are a plain pytree (nested dicts); apply functions are pure and
+jit/pjit-friendly.  The compute dtype is bfloat16 by default (MXU-native),
+with the CRF loss/decode always in float32 (reference parity pins the f32
+path, crf/basecall.py:52 + crf/model.py:216).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xna_basecaller_tpu.core.config import ModelConfig
+from xna_basecaller_tpu.ops import crf as crf_ops
+from xna_basecaller_tpu.ops.conv import conv_stack_forward, init_conv_stack
+from xna_basecaller_tpu.ops.lstm import init_lstm_stack, lstm_stack_forward
+
+
+def init_linear(key, insize: int, size: int, dtype=jnp.float32):
+    """torch.nn.Linear default init (kaiming-uniform / fan-in uniform)."""
+    k_w, k_b = jax.random.split(key)
+    bound = math.sqrt(6.0 / insize)
+    w = jax.random.uniform(k_w, (insize, size), minval=-bound, maxval=bound)
+    bb = 1.0 / math.sqrt(insize)
+    b = jax.random.uniform(k_b, (size,), minval=-bb, maxval=bb)
+    return {"w": w.astype(dtype), "b": b.astype(dtype)}
+
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> dict[str, Any]:
+    """Build the full parameter pytree for a model config."""
+    enc = cfg.encoder
+    k_conv, k_rnn, k_head, k_ext = jax.random.split(key, 4)
+    conv_layers = init_conv_stack(
+        k_conv, cfg.input_features, enc.first_conv_size,
+        enc.second_conv_size, enc.features, enc.winlen, dtype)
+    rnn_layers, _ = init_lstm_stack(
+        k_rnn, enc.num_rnn_layers, enc.features, enc.features, dtype)
+    # CRF head size: with a fixed blank_score only move columns are learned
+    # (reference nn.py:107): n_base ** (state_len + 1); otherwise full C.
+    if enc.blank_score is None:
+        head_size = (cfg.n_base + 1) * cfg.n_state
+    else:
+        head_size = cfg.n_base ** (cfg.state_len + 1)
+    params = {
+        "conv": conv_layers,
+        "rnn": rnn_layers,
+        "head": init_linear(k_head, enc.features, head_size, dtype),
+    }
+    if enc.extra_linear:
+        params["head_ext"] = init_linear(
+            k_ext, enc.features, enc.features, dtype)
+    return params
+
+
+def rnn_directions(cfg: ModelConfig) -> tuple[bool, ...]:
+    return tuple((i % 2) == 0 for i in range(cfg.encoder.num_rnn_layers))
+
+
+def crf_head_forward(params, x, cfg: ModelConfig):
+    """LinearCRFEncoder forward (reference nn.py:112-133): linear -> tanh ->
+    * scale -> blank-score expansion pad.  x: [T, N, features] ->
+    scores [T, N, n_score] (always the expanded layout)."""
+    enc = cfg.encoder
+    if "head_ext" in params:
+        x = jnp.dot(x, params["head_ext"]["w"],
+                    preferred_element_type=jnp.float32).astype(x.dtype) \
+            + params["head_ext"]["b"]
+    scores = jnp.dot(x, params["head"]["w"],
+                     preferred_element_type=jnp.float32) + params["head"]["b"]
+    scores = jnp.tanh(scores)
+    if enc.scale is not None:
+        scores = scores * enc.scale
+    if enc.blank_score is not None:
+        T, N, C = scores.shape
+        scores = scores.reshape(T, N, C // cfg.n_base, cfg.n_base)
+        blanks = jnp.full(
+            (T, N, C // cfg.n_base, 1), enc.blank_score, scores.dtype)
+        scores = jnp.concatenate([blanks, scores], axis=-1)
+        scores = scores.reshape(T, N, -1)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16):
+    """Full encoder forward: raw signal [N, T_sig] (or [N, T_sig, 1]) ->
+    CRF scores [T, N, n_score] in float32."""
+    if signal.ndim == 2:
+        signal = signal[..., None]
+    x = signal.astype(compute_dtype)
+    params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    x = conv_stack_forward(
+        params["conv"], x, cfg.encoder.stride, cfg.encoder.activation)
+    x = jnp.transpose(x, (1, 0, 2))  # [N,T,C] -> [T,N,C]
+    x = lstm_stack_forward(params["rnn"], rnn_directions(cfg), x)
+    scores = crf_head_forward(params, x, cfg)
+    return scores.astype(jnp.float32)
+
+
+@dataclass(frozen=True)
+class Model:
+    """Bundles config + seqdist, mirroring the reference SeqdistModel
+    surface (crf/model.py:204-237) in a functional style."""
+
+    cfg: ModelConfig
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "seqdist",
+            crf_ops.CTCCRF(self.cfg.state_len, self.cfg.alphabet))
+
+    @property
+    def stride(self) -> int:
+        return self.cfg.encoder.stride
+
+    @property
+    def alphabet(self) -> str:
+        return self.cfg.alphabet
+
+    def init(self, key, dtype=jnp.float32):
+        return init_params(key, self.cfg, dtype)
+
+    def apply(self, params, signal, compute_dtype=jnp.bfloat16):
+        return forward(params, signal, self.cfg, compute_dtype)
+
+    def decode_batch(self, scores) -> list[str]:
+        return self.seqdist.decode_batch(scores)
+
+    def loss(self, scores, targets, lengths, **kw):
+        return self.seqdist.ctc_loss(scores, targets, lengths, **kw)
+
+    def n_params(self, params) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,338 @@
+"""k-mer CTC-CRF sequence distribution, TPU-first (pure JAX oracle).
+
+Re-implements the semantics of the reference CRF over the expanded alphabet
+(reference: ub-bonito/bonito/crf/model.py:24-135 + the external ont-seqdist
+CUDA kernels it calls).  Everything here is dense, static-shape JAX built from
+reshape/broadcast (no gathers in the hot recursion), so XLA can fuse the
+semiring scan; a Pallas kernel version lives in crf_pallas.py.
+
+State space: k-mers over ``n_base`` real bases with ``state_len`` context
+(6**3 = 216 states for NACGTXY).  Scores have shape [T, N, C] with
+C = n_state * (n_base + 1); reshaped to [T, N, n_state, n_base+1] the last
+axis is laid out as (new_state, dropped_base): column 0 is the stay
+transition, column 1+i is the move into ``new_state`` that dropped base ``i``
+out of the k-mer window (reference: crf/model.py:31-36 builds the same
+structure as an index table).
+
+Posteriors are the gradient of logZ w.r.t. the scores — the same autograd
+identity the reference's seqdist library uses; with the Max semiring the
+gradient is the one-hot Viterbi traceback (reference: crf/model.py:92-95).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG = "log"
+MAX = "max"
+
+_NEG_INF = -1e38  # finite "zero" of the log semiring; avoids inf-inf NaNs
+
+
+def semiring_sum(x, axis, semiring: str):
+    if semiring == LOG:
+        return jax.nn.logsumexp(x, axis=axis)
+    elif semiring == MAX:
+        return jnp.max(x, axis=axis)
+    raise ValueError(semiring)
+
+
+def _expand_pred(alpha, n_base, n_state):
+    """alpha[N, n_state] -> pred[N, n_state, n_base].
+
+    pred[n, j, i] = alpha[n, i * n_state//n_base + j // n_base]: the score of
+    the predecessor state of ``j`` whose dropped base is ``i``.  Pure
+    reshape/broadcast — maps to lane shuffles on TPU, no gather.
+    """
+    N = alpha.shape[0]
+    nsd = n_state // n_base
+    a = alpha.reshape(N, n_base, nsd)
+    a = jnp.broadcast_to(a[:, :, :, None], (N, n_base, nsd, n_base))
+    return jnp.swapaxes(a.reshape(N, n_base, n_state), 1, 2)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
+def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """Partition function of the CRF: [T, N, C] -> [N].
+
+    Mirrors seqdist.sparse.logZ as invoked at reference crf/model.py:41-46
+    (alpha_0 = beta_T = semiring one for every state).
+    """
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    alpha0 = jnp.zeros((N, ns), scores.dtype)  # S.one == 0 in log space
+
+    def step(alpha, ms_t):
+        stay = (alpha + ms_t[..., 0])[..., None]
+        move = _expand_pred(alpha, n_base, ns) + ms_t[..., 1:]
+        full = jnp.concatenate([stay, move], axis=-1)
+        return semiring_sum(full, -1, semiring), None
+
+    alpha_t, _ = jax.lax.scan(step, alpha0, Ms)
+    return semiring_sum(alpha_t, -1, semiring)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
+def forward_scores(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """All forward partials alpha_t: [T, N, C] -> [T+1, N, n_state].
+
+    Mirrors seqdist.sparse.fwd_scores as invoked at crf/model.py:51-55.
+    """
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    alpha0 = jnp.zeros((N, ns), scores.dtype)
+
+    def step(alpha, ms_t):
+        stay = (alpha + ms_t[..., 0])[..., None]
+        move = _expand_pred(alpha, n_base, ns) + ms_t[..., 1:]
+        new = semiring_sum(jnp.concatenate([stay, move], -1), -1, semiring)
+        return new, new
+
+    _, alphas = jax.lax.scan(step, alpha0, Ms)
+    return jnp.concatenate([alpha0[None], alphas], axis=0)
+
+
+def _bwd_step(beta, ms_t, n_base, ns, semiring):
+    """One step of the backward recursion.
+
+    beta_t[k] = S.sum over transitions out of k:
+      stay:   Ms[t, k, 0] + beta_{t+1}[k]
+      move b: Ms[t, (k % nsd)*n_base + b, 1 + k//nsd] + beta_{t+1}[...]
+    """
+    N = beta.shape[0]
+    nsd = ns // n_base
+    # Mr[n, m, b, i] = Ms[n, m*n_base + b, 1 + i]
+    Mr = ms_t[..., 1:].reshape(N, nsd, n_base, n_base)
+    br = beta.reshape(N, nsd, n_base)
+    # out[n, i, m] = S.sum_b( Mr[n, m, b, i] + br[n, m, b] )
+    summed = semiring_sum(Mr + br[..., None], axis=2, semiring=semiring)
+    move = jnp.swapaxes(summed, 1, 2).reshape(N, ns)  # k = i*nsd + m
+    stay = ms_t[..., 0] + beta
+    return semiring_sum(jnp.stack([stay, move], -1), -1, semiring)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
+def backward_scores(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """All backward partials beta_t: [T, N, C] -> [T+1, N, n_state].
+
+    Mirrors seqdist.sparse.bwd_scores as invoked at crf/model.py:57-61.
+    """
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    betaT = jnp.zeros((N, ns), scores.dtype)
+
+    def step(beta, ms_t):
+        new = _bwd_step(beta, ms_t, n_base, ns, semiring)
+        return new, new
+
+    _, betas = jax.lax.scan(step, betaT, Ms, reverse=True)
+    return jnp.concatenate([betas, betaT[None]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
+def posteriors(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """Posterior transition probabilities: gradient of logZ wrt scores.
+
+    For the Log semiring these are edge marginals; for Max, the one-hot
+    Viterbi traceback (the identity seqdist relies on; used by the reference
+    at crf/model.py:92-95 and 215-218).
+    """
+    def f(s):
+        return logz_fwd(s, n_base, state_len, semiring).sum()
+    return jax.grad(f)(scores)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
+def viterbi_path(scores, n_base: int, state_len: int):
+    """Most-likely per-frame labels: [T, N, C] -> [T, N] ints in [0, n_base].
+
+    Replicates reference crf/model.py:92-95: argmax over C of the Max-semiring
+    traceback, modulo (n_base+1).  Label 0 is stay/blank; label k>=1 is
+    alphabet[k] in the (new_state, dropped_base) layout.
+    """
+    tb = posteriors(scores, n_base, state_len, MAX)
+    return jnp.argmax(tb.reshape(scores.shape), axis=2) % (n_base + 1)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
+def decode_paths(scores, n_base: int, state_len: int):
+    """Full reference decode chain: scores -> per-frame labels [N, T].
+
+    Replicates SeqdistModel.decode_batch (reference crf/model.py:215-218):
+    Log-semiring posteriors, + 1e-8, log, then Viterbi on the re-logged
+    posteriors.  Runs in float32 (the reference CPU parity path).
+    """
+    scores = scores.astype(jnp.float32)
+    post = posteriors(scores, n_base, state_len, LOG) + 1e-8
+    paths = viterbi_path(jnp.log(post), n_base, state_len)
+    return paths.T.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
+def normalise(scores, n_base: int, state_len: int):
+    """Globally normalise scores so logZ == 0 (reference crf/model.py:48-49)."""
+    T = scores.shape[0]
+    lz = logz_fwd(scores, n_base, state_len, LOG)
+    return scores - (lz / T)[None, :, None]
+
+
+def prepare_ctc_scores(scores, targets, n_base: int, state_len: int):
+    """Gather stay/move lattice scores for target sequences.
+
+    Replicates reference crf/model.py:102-116: targets are CTC codes
+    (blank=0, bases 1..n_base) of shape [N, L]; returns stay [T, N, n] and
+    move [T, N, n-1] with n = L - (state_len - 1).
+    """
+    T, N, C = scores.shape
+    zt = jnp.clip(targets - 1, 0, None)
+    L = targets.shape[1]
+    n = L - (state_len - 1)
+    stay_state = sum(
+        zt[:, i:n + i] * (n_base ** (state_len - i - 1))
+        for i in range(state_len)
+    )
+    stay_idx = stay_state * (n_base + 1)           # [N, n]
+    move_idx = stay_idx[:, 1:] + zt[:, : n - 1] + 1  # [N, n-1]
+    stay = jnp.take_along_axis(
+        scores, jnp.broadcast_to(stay_idx[None], (T, N, n)), axis=2)
+    move = jnp.take_along_axis(
+        scores, jnp.broadcast_to(move_idx[None], (T, N, n - 1)), axis=2)
+    return stay, move
+
+
+@partial(jax.jit, static_argnames=("semiring",))
+def ctc_lattice_logz(stay, move, lengths, semiring: str = LOG):
+    """logZ of the stay/move CTC alignment lattice.
+
+    Equivalent of seqdist.ctc_simple.logZ_cupy as invoked at reference
+    crf/model.py:122: paths start at k-mer position 0, each frame either
+    stays or advances one position, and must end at position length-1.
+    """
+    T, N, n = stay.shape
+    alpha = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
+
+    def step(alpha, inp):
+        # Positions beyond a sample's length-1 never flow back into the
+        # read-out position, so no per-sample masking is needed.
+        stay_t, move_t = inp
+        stayed = alpha + stay_t
+        moved = alpha[:, :-1] + move_t
+        upper = semiring_sum(
+            jnp.stack([stayed[:, 1:], moved], -1), -1, semiring)
+        new = jnp.concatenate([stayed[:, :1], upper], axis=1)
+        return new, None
+
+    alpha_t, _ = jax.lax.scan(step, alpha, (stay, move))
+    idx = jnp.clip(lengths - 1, 0, n - 1)[:, None]
+    return jnp.take_along_axis(alpha_t, idx, axis=1)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "loss_clip",
+                                   "reduction", "normalise_scores"))
+def ctc_loss(scores, targets, target_lengths, n_base: int, state_len: int,
+             loss_clip: float | None = None, reduction: str = "mean",
+             normalise_scores: bool = True):
+    """CTC-CRF loss: -(logZ_ctc - logZ_full) / target_length.
+
+    Replicates reference crf/model.py:118-131.  ``scores`` [T, N, C] float32;
+    ``targets`` [N, L] CTC codes; ``target_lengths`` [N].
+    """
+    scores = scores.astype(jnp.float32)
+    if normalise_scores:
+        scores = normalise(scores, n_base, state_len)
+    stay, move = prepare_ctc_scores(scores, targets, n_base, state_len)
+    logz = ctc_lattice_logz(stay, move, target_lengths + 1 - state_len)
+    loss = -(logz / target_lengths)
+    if loss_clip:
+        loss = jnp.clip(loss, 0.0, loss_clip)
+    if reduction == "mean":
+        return loss.mean()
+    elif reduction in ("none", None):
+        return loss
+    raise ValueError(f"Unknown reduction type {reduction}")
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
+def reverse_complement(scores, n_base: int, state_len: int):
+    """Reverse-complement a score tensor for R-strand decoding.
+
+    Exact transcription of reference crf/model.py:78-90 into jnp: reverses
+    time, reverses k-mer base order within each state, and complements via
+    index flips (base i -> n_base-1-i composes with the flip on the state
+    axes and the emission axis).
+    """
+    T, N, C = scores.shape
+    expand = (T, N) + (n_base,) * state_len + (n_base + 1,)
+    s = scores.reshape(expand)
+    blanks = jnp.flip(
+        jnp.transpose(
+            s[..., 0], (0, 1) + tuple(range(state_len + 1, 1, -1))
+        ).reshape(T, N, -1, 1),
+        axis=(0, 2),
+    )
+    emissions = jnp.flip(
+        jnp.transpose(
+            s[..., 1:],
+            (0, 1) + tuple(range(state_len, 1, -1))
+            + (state_len + 2, state_len + 1),
+        ).reshape(T, N, -1, n_base),
+        axis=(0, 2, 3),
+    )
+    return jnp.concatenate([blanks, emissions], axis=-1).reshape(T, N, -1)
+
+
+@dataclass(frozen=True)
+class CTCCRF:
+    """Convenience bundle mirroring the reference CTC_CRF object
+    (crf/model.py:24) with alphabet bookkeeping."""
+
+    state_len: int
+    alphabet: str
+
+    @property
+    def n_base(self) -> int:
+        return len(self.alphabet) - 1
+
+    @property
+    def n_state(self) -> int:
+        return self.n_base ** self.state_len
+
+    @property
+    def n_score(self) -> int:
+        return len(self.alphabet) * self.n_state
+
+    def logZ(self, scores, semiring: str = LOG):
+        return logz_fwd(scores, self.n_base, self.state_len, semiring)
+
+    def normalise(self, scores):
+        return normalise(scores, self.n_base, self.state_len)
+
+    def posteriors(self, scores, semiring: str = LOG):
+        return posteriors(scores, self.n_base, self.state_len, semiring)
+
+    def viterbi(self, scores):
+        return viterbi_path(scores, self.n_base, self.state_len)
+
+    def decode_batch(self, scores) -> list[str]:
+        paths = np.asarray(decode_paths(scores, self.n_base, self.state_len))
+        return [self.path_to_str(p) for p in paths]
+
+    def path_to_str(self, path) -> str:
+        alpha = np.frombuffer("".join(self.alphabet).encode(), dtype="u1")
+        path = np.asarray(path)
+        return alpha[path[path != 0]].tobytes().decode()
+
+    def ctc_loss(self, scores, targets, target_lengths, **kw):
+        return ctc_loss(scores, targets, target_lengths,
+                        self.n_base, self.state_len, **kw)
+
+    def reverse_complement(self, scores):
+        return reverse_complement(scores, self.n_base, self.state_len)
