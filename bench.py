@@ -1,0 +1,76 @@
+"""Headline benchmark: basecalled samples/s on raw signal (1 chip).
+
+Runs the flagship model (conv + 5x LSTM(768) + 6-base CRF, the reference's
+xna_r9.4.1_e8_sup@v3.3 architecture) through the full basecall pipeline —
+chunk(3600, overlap 500) -> batched forward -> CRF posterior+Viterbi decode
+-> stitch — over synthetic nanopore reads, and prints ONE JSON line.
+
+The reference publishes no absolute throughput number (samples/s is
+self-reported at runtime, reference cli/basecaller.py:161); vs_baseline is
+reported against a 1.0e6 samples/s proxy — the order of magnitude of a
+bonito-class CUDA basecaller on this model size — so cross-round progress
+is comparable.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import time
+
+BASELINE_SAMPLES_PER_S = 1.0e6  # proxy; see module docstring
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from xna_basecaller_tpu.core.config import ModelConfig
+    from xna_basecaller_tpu.data.simulate import simulate_reads
+    from xna_basecaller_tpu.infer.basecall import (
+        compute_scores, run_basecaller,
+    )
+    from xna_basecaller_tpu.models import crf_model
+    from xna_basecaller_tpu.models.crf_model import Model
+
+    batchsize = 256
+    chunksize = 3600
+    overlap = 500
+
+    cfg = ModelConfig()
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    print(f"[bench] devices={jax.devices()} params={model.n_params(params):,}",
+          file=sys.stderr)
+
+    # Warm up compiles outside the timed region (one padded batch).
+    warm = np.zeros((batchsize, chunksize), np.float32)
+    t0 = time.perf_counter()
+    compute_scores(model, params, warm)
+    print(f"[bench] compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    reads = list(simulate_reads(24, mean_len=120_000, seed=7))
+    total_samples = sum(len(r.signal) for r in reads)
+    print(f"[bench] {len(reads)} reads, {total_samples:,} samples",
+          file=sys.stderr)
+
+    fq = io.StringIO()
+    stats = run_basecaller(
+        model, params, iter(reads), fq, None,
+        chunksize=chunksize, overlap=overlap, batchsize=batchsize)
+    print(f"[bench] {stats['reads']} reads in {stats['seconds']:.2f}s",
+          file=sys.stderr)
+
+    value = stats["samples_per_s"]
+    print(json.dumps({
+        "metric": "basecalled_samples_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""CLI surface smoke tests (tiny model, CPU)."""
+
+import io
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.cli import main as cli_main
+from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+from xna_basecaller_tpu.core import config as config_lib
+from xna_basecaller_tpu.data.ctc_data import save_ctc_data
+from xna_basecaller_tpu.data.simulate import simulate_ctc_dataset
+from xna_basecaller_tpu.models.crf_model import Model
+from xna_basecaller_tpu.train import checkpoint as ckpt
+from xna_basecaller_tpu.utils.model_io import load_model
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    d = tmp_path / "model"
+    d.mkdir()
+    config_lib.save(cfg, str(d))
+    ckpt.save_checkpoint(str(d), 1, params)
+    return str(d)
+
+
+def test_load_model_latest_and_overrides(model_dir):
+    model, params, cfg = load_model(model_dir, chunksize=999, batchsize=7)
+    assert cfg.basecaller.chunksize == 999
+    assert cfg.basecaller.batchsize == 7
+    # overlap untouched from config default
+    assert cfg.basecaller.overlap == 500
+
+
+def test_load_model_skip_top(model_dir):
+    """skip_top reinitialises the head but keeps the trunk."""
+    model, p_full, _ = load_model(model_dir)
+    model, p_skip, _ = load_model(model_dir, skip_top=True, seed=123)
+    np.testing.assert_array_equal(
+        np.asarray(p_full["conv"][0]["w"]), np.asarray(p_skip["conv"][0]["w"]))
+    assert not np.array_equal(
+        np.asarray(p_full["head"]["w"]), np.asarray(p_skip["head"]["w"]))
+
+
+def test_cli_view(model_dir, capsys):
+    cli_main(["view", model_dir])
+    out = capsys.readouterr().out
+    assert "alphabet: NACGTXY" in out
+    assert "parameters:" in out
+
+
+def test_cli_evaluate(model_dir, tmp_path, capsys):
+    data_dir = tmp_path / "data"
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        8, chunk_len=400, target_len=50)
+    save_ctc_data(str(data_dir), chunks, refs, lens, bkps)
+    cli_main(["evaluate", model_dir, "--directory", str(data_dir),
+              "--batchsize", "4", "--chunks", "8"])
+    out = capsys.readouterr().out
+    assert "* mean" in out and "* samples/s" in out
+
+
+def test_cli_export(model_dir, tmp_path):
+    out_path = tmp_path / "model.json"
+    cli_main(["export", model_dir, "--output", str(out_path)])
+    import json
+    with open(out_path) as fh:
+        d = json.load(fh)
+    assert d["alphabet"] == "NACGTXY"
+    assert any(l["type"] == "lstm" for l in d["layers"])
+    assert d["layers"][-1]["type"] == "global_norm"
+
+
+def test_cli_train_and_basecaller_roundtrip(model_dir, tmp_path, capsys,
+                                            monkeypatch):
+    # train 1 epoch from scratch-config on simulated data
+    data_dir = tmp_path / "data"
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        12, chunk_len=400, target_len=50)
+    save_ctc_data(str(data_dir), chunks, refs, lens, bkps)
+    workdir = tmp_path / "run"
+    cli_main(["train", str(workdir), "--config", model_dir,
+              "--directory", str(data_dir), "--epochs", "1",
+              "--batch", "4", "-f"])
+    assert (workdir / "weights_1.npz").exists()
+    assert (workdir / "config.toml").exists()
+    assert (workdir / "training.csv").exists()
+
+
+def test_cli_version(capsys):
+    with pytest.raises(SystemExit):
+        cli_main(["--version"])
+    assert "xnacall" in capsys.readouterr().out

@@ -254,3 +254,58 @@ def test_decode_roundtrip_synthetic():
     seqs = dist.decode_batch(scores)
     want = "".join(dist.alphabet[k] for k in expected if k != 0)
     assert seqs == [want]
+
+
+def test_custom_vjp_logz_matches_autodiff_scan():
+    """Explicit-recursion VJP == differentiating through the scan (both
+    semirings)."""
+    import jax
+    import jax.numpy as jnp
+    n_base, state_len, T, N = 3, 2, 6, 3
+    C = (n_base + 1) * n_base ** state_len
+    rng = np.random.default_rng(20)
+    scores = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+    for semiring in ("log", "max"):
+        g_custom = jax.grad(
+            lambda s: crf.logz_fwd(s, n_base, state_len, semiring).sum()
+        )(scores)
+        g_auto = jax.grad(
+            lambda s: crf._logz_scan(s, n_base, state_len, semiring).sum()
+        )(scores)
+        np.testing.assert_allclose(
+            np.asarray(g_custom), np.asarray(g_auto), rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_ctc_lattice_matches_autodiff():
+    import jax
+    import jax.numpy as jnp
+    T, N, n = 7, 3, 5
+    rng = np.random.default_rng(21)
+    stay = jnp.asarray(rng.normal(size=(T, N, n)).astype(np.float32))
+    move = jnp.asarray(rng.normal(size=(T, N, n - 1)).astype(np.float32))
+    lengths = jnp.asarray(np.array([5, 3, 4], np.int32))
+    g1 = jax.grad(lambda s, m: crf.ctc_lattice_logz_grad(s, m, lengths).sum(),
+                  argnums=(0, 1))(stay, move)
+    g2 = jax.grad(lambda s, m: crf.ctc_lattice_logz(s, m, lengths).sum(),
+                  argnums=(0, 1))(stay, move)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_explicit_viterbi_matches_grad_viterbi():
+    """Explicit traceback == argmax of the Max-semiring gradient."""
+    import jax
+    n_base, state_len, T, N = 4, 2, 10, 4
+    C = (n_base + 1) * n_base ** state_len
+    rng = np.random.default_rng(22)
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+    labels, states = crf._viterbi_traceback(scores, n_base, state_len)
+    g = jax.grad(
+        lambda s: crf._logz_scan(s, n_base, state_len, "max").sum()
+    )(scores)
+    flat = np.asarray(g).reshape(T, N, -1).argmax(-1)
+    np.testing.assert_array_equal(
+        np.asarray(labels), flat % (n_base + 1))
+    np.testing.assert_array_equal(
+        np.asarray(states), flat // (n_base + 1))

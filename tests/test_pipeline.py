@@ -1,0 +1,115 @@
+"""End-to-end basecall pipeline and simulation tests (CPU, tiny model)."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+from xna_basecaller_tpu.data.pore_model import load_pore_model
+from xna_basecaller_tpu.data.simulate import (
+    simulate_ctc_dataset, simulate_reads,
+)
+from xna_basecaller_tpu.infer.basecall import basecall, run_basecaller
+from xna_basecaller_tpu.models.crf_model import Model
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    m = Model(cfg)
+    p = m.init(jax.random.key(0))
+    return m, p
+
+
+def test_pore_model_loads():
+    pm = load_pore_model()
+    assert len(pm.table) == 16384
+    mean, std = pm.lookup("AAAAAA")
+    assert 50 < mean < 150 and 0 < std < 10
+    # X/Y context k-mers present
+    assert any("X" in k for k in list(pm.table)[:100])
+
+
+def test_simulate_reads_shapes():
+    reads = list(simulate_reads(3, mean_len=5000, seed=1))
+    assert len(reads) == 3
+    for r in reads:
+        assert r.signal.dtype == np.float32
+        assert 1500 < len(r.signal) < 12000
+        # normalised signal: roughly centred
+        assert abs(np.median(r.signal)) < 0.5
+
+
+def test_simulate_ctc_dataset_contract():
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        4, chunk_len=1200, target_len=160, seed=0, ub_prop=0.05)
+    assert chunks.shape == (4, 1200) and chunks.dtype == np.float16
+    assert refs.dtype == np.uint8 and lens.dtype == np.uint16
+    assert bkps.dtype == np.uint16
+    for i in range(4):
+        l = int(lens[i])
+        assert 0 < l <= refs.shape[1]
+        assert np.all(np.diff(bkps[i, :l].astype(int)) >= 0)
+        assert refs[i, :l].max() >= 5  # UB spiked
+        assert np.all(refs[i, l:] == 0)
+
+
+def test_basecall_pipeline_multi_read(tiny_model):
+    model, params = tiny_model
+    reads = list(simulate_reads(3, mean_len=4000, seed=2))
+    out = list(basecall(model, params, iter(reads),
+                        chunksize=1200, overlap=200, batchsize=4))
+    assert len(out) == 3
+    got_ids = {r.read_id for r, _ in out}
+    assert got_ids == {r.read_id for r in reads}
+    for read, attrs in out:
+        n_frames = -(-len(read.signal) // model.stride)
+        assert 0 < len(attrs["sequence"])
+        # stitched path length ~= signal frames (within chunk rounding)
+        assert len(attrs["moves"]) <= n_frames + 240
+        assert set(attrs["sequence"]) <= set("ACGTXY")
+        assert len(attrs["qstring"]) == len(attrs["sequence"])
+
+
+def test_basecall_short_read_single_chunk(tiny_model):
+    """A read shorter than chunksize takes the padded single-chunk path."""
+    model, params = tiny_model
+    reads = list(simulate_reads(1, mean_len=700, seed=3))
+    out = list(basecall(model, params, iter(reads),
+                        chunksize=1200, overlap=200, batchsize=4))
+    assert len(out) == 1
+    assert len(out[0][1]["sequence"]) > 0
+
+
+def test_run_basecaller_writes_fastq(tiny_model):
+    model, params = tiny_model
+    reads = list(simulate_reads(2, mean_len=3000, seed=4))
+    fq = io.StringIO()
+    summary = io.StringIO()
+    stats = run_basecaller(model, params, iter(reads), fq, summary,
+                           chunksize=1200, overlap=200, batchsize=4)
+    assert stats["reads"] == 2
+    assert stats["samples"] == sum(len(r.signal) for r in reads)
+    assert stats["samples_per_s"] > 0
+    lines = fq.getvalue().strip().split("\n")
+    assert len(lines) == 8
+    assert lines[0].startswith("@sim_")
+    assert set(lines[1]) <= set("ACGTXY")
+    assert lines[2] == "+"
+    assert len(lines[3]) == len(lines[1])
+
+
+def test_basecall_reverse_strand(tiny_model):
+    """R-strand path: rc scores + reverse stitching runs and yields the
+    same read set."""
+    model, params = tiny_model
+    reads = list(simulate_reads(2, mean_len=3000, seed=5))
+    out = dict(
+        (r.read_id, a) for r, a in
+        basecall(model, params, iter(reads), chunksize=1200, overlap=200,
+                 batchsize=4, reverse=True))
+    assert len(out) == 2
+    for a in out.values():
+        assert len(a["sequence"]) > 0

@@ -1,0 +1,150 @@
+"""Trainer, checkpoint/resume, schedule, and accuracy tests (CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+from xna_basecaller_tpu.data.ctc_data import (
+    ChunkDataset, load_datasets, save_ctc_data,
+)
+from xna_basecaller_tpu.data.simulate import simulate_ctc_dataset
+from xna_basecaller_tpu.eval.accuracy import accuracy, sw_align
+from xna_basecaller_tpu.models.crf_model import Model
+from xna_basecaller_tpu.train import checkpoint as ckpt
+from xna_basecaller_tpu.train.loop import Trainer
+from xna_basecaller_tpu.train.schedule import linear_warmup_cosine_decay
+
+
+def tiny_model():
+    cfg = ModelConfig(encoder=EncoderConfig(
+        features=32, num_rnn_layers=2, winlen=9))
+    return Model(cfg)
+
+
+def make_datasets(n=16, chunk_len=600, target_len=70, seed=0):
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        n, chunk_len=chunk_len, target_len=target_len, seed=seed)
+    train = ChunkDataset(chunks[: n - 4], refs[: n - 4], lens[: n - 4],
+                         bkps[: n - 4])
+    valid = ChunkDataset(chunks[n - 4:], refs[n - 4:], lens[n - 4:],
+                         bkps[n - 4:], epoch_reset_seed=True)
+    return train, valid
+
+
+def test_schedule_warmup_then_cosine():
+    sched = linear_warmup_cosine_decay(1.0, total_steps=1000,
+                                       warmup_steps=100)
+    assert sched(0) == pytest.approx(0.1)
+    assert sched(100) == pytest.approx(1.0, abs=0.01)
+    assert sched(1000) == pytest.approx(0.01, abs=0.005)
+    # monotone decrease after warmup
+    vals = [sched(s) for s in range(100, 1000, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_trainer_loss_decreases(tmp_path):
+    model = tiny_model()
+    train, valid = make_datasets()
+    tr = Trainer(model, train, valid, batchsize=4, lr=2e-3,
+                 warmup_steps=3, log=lambda *a: None)
+    out = tr.fit(str(tmp_path), epochs=3)
+    losses = [h["validation_loss"] for h in out["history"]]
+    assert losses[-1] < losses[0], losses
+    # checkpoints written with the reference naming contract
+    assert os.path.exists(tmp_path / "weights_1.npz")
+    assert os.path.exists(tmp_path / "weights_3.npz")
+    assert os.path.exists(tmp_path / "training.csv")
+    assert os.path.exists(tmp_path / "losses_2.csv")
+
+
+def test_trainer_resume(tmp_path):
+    model = tiny_model()
+    train, valid = make_datasets()
+    kw = dict(batchsize=4, lr=1e-3, warmup_steps=3, log=lambda *a: None)
+    Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=1)
+    out = Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=1)
+    # resumed from epoch 1 -> trained epoch 2
+    assert out["history"][0]["epoch"] == 2
+    assert os.path.exists(tmp_path / "weights_2.npz")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = tiny_model()
+    p = model.init(jax.random.key(0))
+    ckpt.save_checkpoint(str(tmp_path), 5, p)
+    epoch, p2, _ = ckpt.load_checkpoint(str(tmp_path), jax.tree.map(
+        jnp.zeros_like, p))
+    assert epoch == 5
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_best_epoch_link(tmp_path):
+    model = tiny_model()
+    p = model.init(jax.random.key(0))
+    ckpt.save_checkpoint(str(tmp_path), 1, p)
+    ckpt.save_checkpoint(str(tmp_path), 2, p)
+    ckpt.link_best_epoch(str(tmp_path), 1)
+    assert os.path.islink(tmp_path / "weights_99.npz")
+    epoch, _, _ = ckpt.load_checkpoint(
+        str(tmp_path), p, epoch=99)
+    assert epoch == 99
+
+
+def test_frozen_params_do_not_move(tmp_path):
+    """Freeze-bottom semantics (reference cli/train.py:134-158): frozen
+    subtrees keep their initial values."""
+    model = tiny_model()
+    train, valid = make_datasets(n=8)
+    tr = Trainer(model, train, valid, batchsize=4, lr=5e-3, warmup_steps=1,
+                 frozen_predicate=lambda key: key.startswith("conv"),
+                 log=lambda *a: None)
+    p0 = model.init(jax.random.key(tr.seed))
+    out = tr.fit(str(tmp_path), epochs=1)
+    p1 = out["params"]
+    np.testing.assert_array_equal(
+        np.asarray(p0["conv"][0]["w"]), np.asarray(p1["conv"][0]["w"]))
+    assert not np.allclose(
+        np.asarray(p0["head"]["w"]), np.asarray(p1["head"]["w"]))
+
+
+def test_ctc_data_disk_roundtrip(tmp_path):
+    chunks, refs, lens, bkps = simulate_ctc_dataset(6, chunk_len=400,
+                                                    target_len=50)
+    save_ctc_data(str(tmp_path), chunks, refs, lens, bkps)
+    train, valid = load_datasets(str(tmp_path), load_bkps=True)
+    assert len(train) + len(valid) == 6
+    batches = list(train.batches(2))
+    c, t, l = batches[0]
+    assert c.dtype == np.float32 and t.dtype == np.int32
+
+
+def test_sw_accuracy_basics():
+    assert accuracy("ACGTACGTACGT", "ACGTACGTACGT") == 100.0
+    assert accuracy("ACGTACGTACGT", "ACGTTCGTACGT") == pytest.approx(
+        100 * 11 / 12)
+    assert accuracy("ACGTACGT", "") == 0.0
+    # deletion
+    a = accuracy("ACGTACGTAA", "ACGTCGTAA")
+    assert 80 < a < 100
+    # min_coverage gate
+    assert accuracy("A" * 100 + "C" * 100, "A" * 10, min_coverage=0.5) == 0.0
+
+
+def test_sw_align_local():
+    score, cigar, (q0, q1, r0, r1) = sw_align("TTTACGTACGTTTT", "ACGTACGT")
+    ops = "".join(op * c for op, c in cigar)
+    assert ops == "=" * 8
+    assert (q0, q1) == (3, 11)
+    assert (r0, r1) == (0, 8)
+    assert score == 40
+
+
+def test_sw_align_xy_bases():
+    """X/Y score as first-class bases."""
+    assert accuracy("ACGXACGT", "ACGXACGT") == 100.0
+    assert accuracy("ACGXACGT", "ACGYACGT") == pytest.approx(100 * 7 / 8)

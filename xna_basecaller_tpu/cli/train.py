@@ -1,0 +1,122 @@
+"""``xnacall train`` — train a model on ctc-data.
+
+Reference surface: ub-bonito/bonito/cli/train.py (including the
+augmentation and freeze knobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(args):
+    import jax
+    import numpy as np
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.data.ctc_data import load_datasets
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.train.loop import Trainer
+    from xna_basecaller_tpu.utils.model_io import load_model
+
+    workdir = os.path.expanduser(args.training_directory)
+    if os.path.exists(workdir) and not args.force:
+        sys.stderr.write(
+            f"[error] {workdir} exists, use -f to force continue\n")
+        exit(1)
+    os.makedirs(workdir, exist_ok=True)
+
+    augment = None
+    valid_augment = None
+    need_bkps = bool(args.ubs) and (args.spike or args.stitch)
+    if need_bkps:
+        from xna_basecaller_tpu.augment.spike import make_spike_augment
+        if args.spike:
+            augment = make_spike_augment(
+                ubs=args.ubs, prop_ubs=args.ub_prop,
+                noise_std=args.noise_std, std_dist=args.std_dist,
+                fully_synth=args.fully_synth)
+            valid_augment = augment
+
+    train_data, valid_data = load_datasets(
+        args.directory, limit=args.chunks or None, load_bkps=need_bkps,
+        augment=augment, valid_augment=valid_augment)
+
+    if args.pretrained:
+        model, params0, cfg = load_model(
+            args.pretrained, skip_top=args.skip_top,
+            drop_rate=args.drop_rate, drop_rate_bottom=args.drop_rate_bottom)
+    else:
+        cfg = config_lib.load(args.config)
+        model = Model(cfg)
+        params0 = None
+
+    config_lib.save(cfg, os.path.join(workdir, "config.toml"))
+    with open(os.path.join(workdir, "argv.txt"), "w") as fh:
+        fh.write(" ".join(sys.argv) + "\n")
+
+    frozen_predicate = None
+    if args.freeze_bottom:
+        # freeze everything except the top K rnn layers + head
+        # (reference cli/train.py:134-158)
+        n_rnn = cfg.encoder.num_rnn_layers
+        keep = args.unfreeze_top
+
+        def frozen_predicate(key: str) -> bool:
+            if key.startswith("head"):
+                return False
+            if key.startswith("rnn/"):
+                layer = int(key.split("/")[1])
+                return layer < n_rnn - keep
+            return True
+
+    trainer = Trainer(
+        model, train_data, valid_data,
+        batchsize=args.batch, lr=args.lr, seed=args.seed,
+        restore_optim=args.restore_optim,
+        grad_accum_split=args.grad_accum_split,
+        frozen_predicate=frozen_predicate,
+    )
+    if params0 is not None:
+        trainer.initial_params = params0
+    trainer.fit(workdir, epochs=args.epochs)
+
+
+def argparser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        add_help=False)
+    parser.add_argument("training_directory")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--pretrained", default="")
+    parser.add_argument("--directory", default=None, required=True,
+                        help="ctc-data directory")
+    parser.add_argument("-f", "--force", action="store_true")
+    parser.add_argument("--lr", default=5e-4, type=float)
+    parser.add_argument("--seed", default=25, type=int)
+    parser.add_argument("--epochs", default=5, type=int)
+    parser.add_argument("--batch", default=64, type=int)
+    parser.add_argument("--chunks", default=0, type=int)
+    parser.add_argument("--grad-accum-split", default=1, type=int)
+    parser.add_argument("--restore-optim", action="store_true")
+    parser.add_argument("--skip-top", action="store_true",
+                        help="drop CRF head weights from pretrained load")
+    parser.add_argument("--drop-rate", default=None, type=float)
+    parser.add_argument("--drop-rate-bottom", default=None, type=float)
+    # freeze knobs
+    parser.add_argument("--freeze-bottom", action="store_true")
+    parser.add_argument("--unfreeze-top", default=3, type=int)
+    # augmentation knobs (spike / stitch)
+    parser.add_argument("--spike", action="store_true",
+                        help="synthetic-signal UB spiking augmentation")
+    parser.add_argument("--stitch", action="store_true",
+                        help="real-signal splice augmentation")
+    parser.add_argument("--ubs", default="", choices=["", "X", "Y", "XY", "N"],
+                        help="unnatural bases to insert")
+    parser.add_argument("--ub-prop", default=0.10, type=float)
+    parser.add_argument("--noise-std", default=1.0, type=float)
+    parser.add_argument("--std-dist", default="truncnorm_shift_1.5_0.5")
+    parser.add_argument("--fully-synth", action="store_true")
+    return parser

@@ -1,0 +1,141 @@
+"""ctc-data (.npy) loading and batch iteration.
+
+Speaks the reference's on-disk training-data contract exactly (SURVEY §2.5;
+reference ub-bonito/bonito/data.py:129-163): ``chunks.npy [N, 3600] f16``,
+``references.npy [N, Lmax] u8``, ``reference_lengths.npy``, optional
+``indices.npy`` subsampling and ``breakpoints.npy`` for augmentation; a
+``validation/`` subdir or a 97/3 split fallback (data.py:112-115).
+
+Batching is host-side numpy with a per-epoch shuffle and an augmentation
+hook; the device side always sees fixed [B, T] / [B, L] shapes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def load_numpy_datasets(directory: str, limit: int | None = None,
+                        load_bkps: bool = False):
+    """Load (chunks, targets, lengths[, breakpoints]) with indices.npy
+    subsampling (reference data.py:129-163)."""
+    chunks = np.load(os.path.join(directory, "chunks.npy"), mmap_mode="r")
+    targets = np.load(os.path.join(directory, "references.npy"),
+                      mmap_mode="r")
+    lengths = np.load(os.path.join(directory, "reference_lengths.npy"),
+                      mmap_mode="r")
+    indices_path = os.path.join(directory, "indices.npy")
+    bkps = None
+    if load_bkps:
+        bkps = np.load(os.path.join(directory, "breakpoints.npy"),
+                       mmap_mode="r")
+    if os.path.exists(indices_path):
+        idx = np.load(indices_path, mmap_mode="r")
+        idx = idx[idx < lengths.shape[0]]
+        if limit:
+            idx = idx[:limit]
+        out = (chunks[idx, :], targets[idx, :], lengths[idx])
+        if load_bkps:
+            out = out + (bkps[idx, :],)
+        return out
+    if limit:
+        chunks, targets, lengths = (
+            chunks[:limit], targets[:limit], lengths[:limit])
+        if bkps is not None:
+            bkps = bkps[:limit]
+    out = (np.array(chunks), np.array(targets), np.array(lengths))
+    if load_bkps:
+        out = out + (np.array(bkps),)
+    return out
+
+
+def save_ctc_data(directory: str, chunks, targets, lengths,
+                  breakpoints=None, indices=None) -> None:
+    os.makedirs(directory, exist_ok=True)
+    np.save(os.path.join(directory, "chunks.npy"),
+            np.asarray(chunks, np.float16))
+    np.save(os.path.join(directory, "references.npy"),
+            np.asarray(targets, np.uint8))
+    np.save(os.path.join(directory, "reference_lengths.npy"),
+            np.asarray(lengths, np.uint16))
+    if breakpoints is not None:
+        np.save(os.path.join(directory, "breakpoints.npy"),
+                np.asarray(breakpoints, np.uint16))
+    if indices is not None:
+        np.save(os.path.join(directory, "indices.npy"), np.asarray(indices))
+
+
+@dataclass
+class ChunkDataset:
+    """In-memory/mmap dataset with optional per-item augmentation.
+
+    ``augment`` is called per batch as augment(chunks, targets, lengths,
+    breakpoints, rng) -> (chunks, targets) — batch-level (vectorised),
+    unlike the reference's per-item worker-pool __getitem__ (data.py:53-84),
+    because augmentation here runs as device-side jit.
+    ``epoch_reset_seed`` fixes the RNG each epoch for comparable validation
+    loss (reference data.py:50-67; seeds 1910 val / 2012 train).
+    """
+
+    chunks: np.ndarray
+    targets: np.ndarray
+    lengths: np.ndarray
+    breakpoints: np.ndarray | None = None
+    augment: object = None
+    epoch_reset_seed: bool = False
+    replace_6_letter: bool = False
+
+    def __post_init__(self):
+        self.seed = 1910 if self.epoch_reset_seed else 2012
+        self.rng = np.random.default_rng(self.seed)
+
+    def __len__(self):
+        return len(self.lengths)
+
+    def batches(self, batchsize: int, shuffle: bool = False,
+                seed: int = 0, drop_last: bool = False):
+        """Yield (chunks [B,T] f32, targets [B,L] i32, lengths [B] i32)."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        if self.epoch_reset_seed:
+            self.rng = np.random.default_rng(self.seed)
+        for start in range(0, n, batchsize):
+            idx = order[start:start + batchsize]
+            if drop_last and len(idx) < batchsize:
+                return
+            idx_sorted = np.sort(idx)  # mmap-friendly fancy indexing
+            c = np.asarray(self.chunks[idx_sorted], np.float32)
+            t = np.asarray(self.targets[idx_sorted], np.int32)
+            l = np.asarray(self.lengths[idx_sorted], np.int32)
+            if self.augment is not None:
+                b = (np.asarray(self.breakpoints[idx_sorted], np.int32)
+                     if self.breakpoints is not None else None)
+                c, t = self.augment(c, t, l, b, self.rng)
+            if self.replace_6_letter:
+                t = np.where(t == 6, 5, t)
+            yield c, t, l
+
+
+def load_datasets(directory: str, limit: int | None = None,
+                  load_bkps: bool = False, valid_split: float = 0.97,
+                  augment=None, valid_augment=None):
+    """(train, valid) ChunkDatasets with validation/ subdir or split
+    fallback (reference data.py:100-126)."""
+    arrays = load_numpy_datasets(directory, limit=limit, load_bkps=load_bkps)
+    valid_dir = os.path.join(directory, "validation")
+    if os.path.exists(valid_dir):
+        train_arrays = arrays
+        valid_arrays = load_numpy_datasets(valid_dir, load_bkps=load_bkps)
+    else:
+        split = int(np.floor(len(arrays[0]) * valid_split))
+        train_arrays = tuple(x[:split] for x in arrays)
+        valid_arrays = tuple(x[split:] for x in arrays)
+    train = ChunkDataset(*train_arrays, augment=augment)
+    valid = ChunkDataset(*valid_arrays, augment=valid_augment,
+                         epoch_reset_seed=True)
+    return train, valid

@@ -1,0 +1,125 @@
+"""Synthetic nanopore read/chunk simulation from the k-mer pore model.
+
+Used for tests, benchmarks, and fully-synthetic training data — the same
+squiggle generation scheme as the reference's `fully_synth` spike mode
+(reference: ub-bonito/bonito/spike_chunks.py:54-134, 217-245): per-base dwell
+repetitions of k-mer level means plus within-event std sampling, med/MAD
+normalised.  Also produces the ctc-data artifact tuple
+(chunks, references, reference_lengths, breakpoints) so the whole training
+pipeline can run without real fast5 data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from xna_basecaller_tpu.core.alphabet import BASES, decode
+from xna_basecaller_tpu.data.pore_model import PoreModel, load_pore_model
+
+MAD_FACTOR = 1.4826
+
+
+def med_mad(x, factor: float = MAD_FACTOR):
+    med = np.median(x)
+    mad = np.median(np.abs(x - med)) * factor + np.finfo(np.float32).eps
+    return med, mad
+
+
+def random_sequence(rng, length: int, ub_prop: float = 0.0,
+                    ubs: str = "XY") -> np.ndarray:
+    """Random base codes [length] in 1..4, with optional UBs spiked at
+    isolated positions (away from edges and each other)."""
+    seq = rng.integers(1, 5, size=length)
+    if ub_prop > 0:
+        n_ub = max(1, round(length * ub_prop))
+        pos = []
+        mask = np.ones(length, bool)
+        mask[:10] = mask[-10:] = False
+        for _ in range(n_ub):
+            valid = np.where(mask)[0]
+            if not len(valid):
+                break
+            p = int(rng.choice(valid))
+            mask[max(0, p - 5):p + 6] = False
+            pos.append(p)
+        codes = [5 + int(rng.integers(len(ubs))) if len(ubs) > 1 else 5
+                 for _ in pos]
+        seq[np.array(pos, dtype=int)] = codes
+    return seq.astype(np.uint8)
+
+
+def simulate_squiggle(seq_codes: np.ndarray, pore: PoreModel, rng,
+                      samples_per_base: float = 9.0,
+                      dwell_std: float = 2.0, noise_std: float = 0.5):
+    """Base codes -> (normalised signal, breakpoints).
+
+    breakpoints[i] = cumulative signal index at which base i's event ends
+    (the reference's breakpoints.npy contract, dtw_segmentation.py:195-202).
+    """
+    seq = decode(seq_codes, BASES, drop_blank=False)
+    means, stds = pore.seq_levels(seq, append=True)
+    L = len(seq_codes)
+    reps = np.maximum(
+        1, rng.normal(samples_per_base, dwell_std, L).round().astype(int))
+    event_means = np.repeat(means[:L], reps)
+    event_stds = np.repeat(stds[:L], reps)
+    raw = event_means + rng.uniform(-event_stds, event_stds)
+    if noise_std > 0:
+        raw = raw + rng.normal(0, noise_std, raw.shape)
+    med, mad = med_mad(raw)
+    signal = ((raw - med) / mad).astype(np.float32)
+    breakpoints = np.cumsum(reps).astype(np.uint16)
+    return signal, breakpoints
+
+
+@dataclass
+class SimReadObj:
+    read_id: str
+    signal: np.ndarray
+    sequence: str = ""
+
+
+def simulate_reads(n_reads: int, mean_len: int = 20000, seed: int = 0,
+                   ub_prop: float = 0.0, pore: PoreModel | None = None):
+    """Generate reads with realistic length spread for pipeline tests/bench."""
+    pore = pore or load_pore_model()
+    rng = np.random.default_rng(seed)
+    for i in range(n_reads):
+        sig_len = int(rng.uniform(0.5, 1.5) * mean_len)
+        n_bases = max(20, int(sig_len / 9.0))
+        codes = random_sequence(rng, n_bases, ub_prop=ub_prop)
+        signal, _ = simulate_squiggle(codes, pore, rng)
+        yield SimReadObj(
+            read_id=f"sim_{seed}_{i}", signal=signal,
+            sequence=decode(codes, BASES, drop_blank=False))
+
+
+def simulate_ctc_dataset(n_chunks: int, chunk_len: int = 3600,
+                         target_len: int = 400, seed: int = 0,
+                         ub_prop: float = 0.0,
+                         pore: PoreModel | None = None):
+    """Build an in-memory ctc-data artifact set shaped like the reference's
+    chunks.npy / references.npy / reference_lengths.npy / breakpoints.npy
+    (contract per SURVEY §2.5; reference data.py:129-163)."""
+    pore = pore or load_pore_model()
+    rng = np.random.default_rng(seed)
+    chunks = np.zeros((n_chunks, chunk_len), np.float16)
+    max_len = target_len + 50
+    refs = np.zeros((n_chunks, max_len), np.uint8)
+    lens = np.zeros(n_chunks, np.uint16)
+    bkps = np.zeros((n_chunks, max_len), np.uint16)
+    for i in range(n_chunks):
+        # enough bases to cover the chunk at ~9 samples/base
+        codes = random_sequence(rng, target_len, ub_prop=ub_prop)
+        signal, bk = simulate_squiggle(codes, pore, rng)
+        # trim to the last whole base that fits in chunk_len
+        n_fit = int(np.searchsorted(bk, chunk_len, side="right"))
+        n_fit = min(n_fit, target_len)
+        sig = signal[: chunk_len]
+        chunks[i, : len(sig)] = sig.astype(np.float16)
+        refs[i, :n_fit] = codes[:n_fit]
+        lens[i] = n_fit
+        bkps[i, :n_fit] = np.minimum(bk[:n_fit], chunk_len)
+    return chunks, refs, lens, bkps

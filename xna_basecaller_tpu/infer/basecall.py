@@ -1,0 +1,186 @@
+"""Basecalling pipeline: raw reads -> chunk -> batch -> score+decode -> stitch.
+
+TPU-first re-design of the reference lazy pipeline (reference: ub-bonito/
+bonito/crf/basecall.py:96-119):
+
+* Host stages (chunking, batch packing, stitching) run in background threads
+  over bounded queues; the device stage is one jitted function per fixed
+  (batchsize, chunksize) shape — every batch is padded to that shape so XLA
+  compiles exactly once.
+* Decode runs on-device: Log-posteriors -> +1e-8 -> log -> Max-semiring
+  Viterbi (the reference decode chain, crf/model.py:215-218), returning
+  per-frame label paths [N, T'].
+* Stitching is frame-accurate by default: per-frame label paths are stitched
+  with the reference's overlap arithmetic and then compacted to strings.
+  (The reference UB path stitches left-packed char arrays instead —
+  crf/basecall.py:58-76 — which trims by char position, not frame;
+  ``legacy_char_stitch=True`` replicates that behaviour for parity.)
+* R-strand decoding reverse-complements the score tensor on device and
+  stitches with reverse=True (reference crf/basecall.py:54-55, 15-24).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from time import perf_counter
+from typing import Any, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xna_basecaller_tpu.data import chunkops
+from xna_basecaller_tpu.ops import crf as crf_ops
+from xna_basecaller_tpu.utils.pipeline import thread_iter
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
+def _score_and_decode(scores, n_base: int, state_len: int,
+                      reverse: bool = False):
+    """CRF scores -> per-frame label paths [N, T'] int8.
+
+    int8 on purpose: labels are 0..n_base and the device<->host link is the
+    scarce resource (results leave the device; scores never do).
+    """
+    if reverse:
+        scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    paths = crf_ops.decode_paths(scores, n_base, state_len)
+    return paths.astype(jnp.int8)
+
+
+def compute_scores(model, params, batch, reverse: bool = False,
+                   compute_dtype=jnp.bfloat16):
+    """Run the network + decode for one padded batch.
+
+    Returns per-chunk per-frame label paths as host numpy [N, T'] int8.
+    The batch travels H2D as float16 (half the bytes; the encoder computes
+    in bfloat16 anyway) and only the tiny label paths travel D2H.
+    """
+    if not isinstance(batch, jax.Array):
+        batch = jax.device_put(np.asarray(batch, np.float16))
+    scores = model.apply(params, batch, compute_dtype=compute_dtype)
+    paths = _score_and_decode(
+        scores, model.seqdist.n_base, model.seqdist.state_len, reverse)
+    return {"path": np.asarray(paths)}
+
+
+@dataclass
+class BasecallResult:
+    read: Any
+    sequence: str
+    qstring: str
+    moves: np.ndarray = field(default=None)
+    mean_qscore: float = 0.0
+
+
+def _pad_batch(batch: np.ndarray, batchsize: int) -> tuple[np.ndarray, int]:
+    n = len(batch)
+    if n == batchsize:
+        return batch, n
+    pad = np.zeros((batchsize - n,) + batch.shape[1:], batch.dtype)
+    return np.concatenate([batch, pad], axis=0), n
+
+
+def basecall(model, params, reads: Iterable, chunksize: int = 3600,
+             overlap: int = 500, batchsize: int = 384,
+             reverse: bool = False, compute_dtype=jnp.bfloat16,
+             legacy_char_stitch: bool = False) -> Iterator:
+    """Basecall reads lazily; yields (read, attrs dict) like the reference
+    basecall generator (crf/basecall.py:96-119).
+
+    ``reads`` yield objects with ``.signal`` (1-D float32) and ``.read_id``.
+    """
+    stride = model.stride
+
+    def gen_chunks():
+        for read in reads:
+            sig = np.asarray(read.signal, dtype=np.float32)
+            yield ((read, 0, len(sig)),
+                   chunkops.chunk(sig, chunksize, overlap))
+
+    chunks = thread_iter(gen_chunks())
+    batches = thread_iter(chunkops.batchify(iter(chunks), batchsize))
+
+    def gen_uploads():
+        # dedicated H2D stage: pad to the fixed shape, cast to f16 (half the
+        # bytes over the host<->device link) and upload ahead of compute
+        for keys, batch in batches:
+            padded, n = _pad_batch(np.asarray(batch), batchsize)
+            dev = jax.device_put(np.asarray(padded, np.float16))
+            yield keys, n, dev
+
+    uploads = thread_iter(gen_uploads())
+
+    def gen_scores():
+        for keys, n, dev in uploads:
+            out = compute_scores(model, params, dev, reverse=reverse,
+                                 compute_dtype=compute_dtype)
+            yield keys, {k: v[:n] for k, v in out.items()}
+
+    scores = thread_iter(gen_scores())
+
+    def gen_results():
+        for (read, start, end), attrs in chunkops.unbatchify(scores):
+            path = attrs["path"]  # [n_chunks, T']
+            if legacy_char_stitch:
+                packed = _left_pack(path)
+                stitched = chunkops.stitch(
+                    packed, chunksize, overlap, end - start, stride,
+                    reverse=reverse)
+            else:
+                stitched = chunkops.stitch(
+                    path, chunksize, overlap, end - start, stride,
+                    reverse=reverse)
+            seq = model.seqdist.path_to_str(stitched)
+            moves = (np.asarray(stitched) != 0)
+            # The UB decode path has no per-base qualities; emit the dummy
+            # mid-scale qstring like the reference (crf/basecall.py:67).
+            qstring = "O" * len(seq)
+            yield read, {
+                "sequence": seq,
+                "qstring": qstring,
+                "moves": moves,
+                "stride": stride,
+            }
+
+    return thread_iter(gen_results())
+
+
+def _left_pack(paths: np.ndarray) -> np.ndarray:
+    """Left-pack nonzero labels per chunk (reference crf/basecall.py:58-70):
+    the decoded string's codes padded with zeros to frame length."""
+    out = np.zeros_like(paths)
+    for i, row in enumerate(paths):
+        nz = row[row != 0]
+        out[i, : len(nz)] = nz
+    return out
+
+
+def run_basecaller(model, params, reads, fastq_out, summary_out=None,
+                   chunksize: int = 3600, overlap: int = 500,
+                   batchsize: int = 384, reverse: bool = False) -> dict:
+    """Drive the full pipeline, writing FASTQ (+ summary); returns timing
+    stats incl. the headline samples/s (reference cli/basecaller.py:153-161).
+    """
+    t0 = perf_counter()
+    n_reads = 0
+    n_samples = 0
+    for read, attrs in basecall(
+            model, params, reads, chunksize=chunksize, overlap=overlap,
+            batchsize=batchsize, reverse=reverse):
+        n_reads += 1
+        n_samples += len(read.signal)
+        fastq_out.write(
+            f"@{read.read_id}\n{attrs['sequence']}\n+\n{attrs['qstring']}\n")
+        if summary_out is not None:
+            summary_out.write(
+                f"{read.read_id}\t{len(read.signal)}\t"
+                f"{len(attrs['sequence'])}\n")
+    dt = perf_counter() - t0
+    return {
+        "reads": n_reads,
+        "samples": n_samples,
+        "seconds": dt,
+        "samples_per_s": n_samples / dt if dt > 0 else 0.0,
+    }

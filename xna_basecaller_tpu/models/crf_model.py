@@ -100,11 +100,14 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16):
     CRF scores [T, N, n_score] in float32."""
     if signal.ndim == 2:
         signal = signal[..., None]
-    x = signal.astype(compute_dtype)
-    params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    # Conv stack in float32: <1% of model FLOPs (the LSTMs dominate), and
+    # XLA's conv transpose rule requires uniform dtypes.
     x = conv_stack_forward(
-        params["conv"], x, cfg.encoder.stride, cfg.encoder.activation)
-    x = jnp.transpose(x, (1, 0, 2))  # [N,T,C] -> [T,N,C]
+        jax.tree.map(lambda p: p.astype(jnp.float32), params["conv"]),
+        signal.astype(jnp.float32), cfg.encoder.stride,
+        cfg.encoder.activation)
+    x = jnp.transpose(x, (1, 0, 2)).astype(compute_dtype)  # -> [T,N,C]
+    params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     x = lstm_stack_forward(params["rnn"], rnn_directions(cfg), x)
     scores = crf_head_forward(params, x, cfg)
     return scores.astype(jnp.float32)

@@ -56,13 +56,10 @@ def _expand_pred(alpha, n_base, n_state):
     return jnp.swapaxes(a.reshape(N, n_base, n_state), 1, 2)
 
 
-@partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
-def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
-    """Partition function of the CRF: [T, N, C] -> [N].
-
-    Mirrors seqdist.sparse.logZ as invoked at reference crf/model.py:41-46
-    (alpha_0 = beta_T = semiring one for every state).
-    """
+def _logz_scan(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """Partition function via the forward scan (autodiff-able reference
+    implementation; the public logz_fwd wraps it with an explicit-recursion
+    custom VJP — see below)."""
     T, N, C = scores.shape
     ns = n_base ** state_len
     Ms = scores.reshape(T, N, ns, n_base + 1)
@@ -76,6 +73,98 @@ def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
 
     alpha_t, _ = jax.lax.scan(step, alpha0, Ms)
     return semiring_sum(alpha_t, -1, semiring)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
+    """Partition function of the CRF: [T, N, C] -> [N].
+
+    Mirrors seqdist.sparse.logZ as invoked at reference crf/model.py:41-46
+    (alpha_0 = beta_T = semiring one for every state).
+
+    Custom VJP (the same trick as the reference's seqdist CUDA autograd):
+    instead of differentiating through the scan — which stores stacked
+    residuals and falls off a severe performance cliff on TPU at batch
+    >= 64 — the backward pass runs the explicit backward recursion and
+    returns edge posteriors (Log) or the one-hot Viterbi traceback (Max).
+    """
+    return _logz_scan(scores, n_base, state_len, semiring)
+
+
+def _logz_fwd_fwd(scores, n_base, state_len, semiring):
+    return _logz_scan(scores, n_base, state_len, semiring), scores
+
+
+def _logz_fwd_bwd(n_base, state_len, semiring, scores, ct):
+    if semiring == LOG:
+        post = _edge_posteriors(scores, n_base, state_len)
+    else:
+        post = _viterbi_onehot(scores, n_base, state_len)
+    return (post * ct[None, :, None].astype(post.dtype),)
+
+
+def _edge_posteriors(scores, n_base: int, state_len: int):
+    """Log-semiring edge marginals, explicitly:
+    P(t, j, k) = exp(alpha_t[pred(j,k)] + Ms[t,j,k] + beta_{t+1}[j] - logZ).
+    Returns the [T, N, C] tensor (d logZ / d scores)."""
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    alphas = forward_scores(scores, n_base, state_len, LOG)    # [T+1,N,ns]
+    betas = backward_scores(scores, n_base, state_len, LOG)    # [T+1,N,ns]
+    logz = semiring_sum(alphas[-1], -1, LOG)                   # [N]
+    a = alphas[:-1]
+    pred = _expand_pred(
+        a.reshape(T * N, ns), n_base, ns).reshape(T, N, ns, n_base)
+    stay = a[..., None]                                        # k = 0
+    edge = jnp.concatenate([stay, pred], axis=-1) + Ms \
+        + betas[1:][..., None] - logz[None, :, None, None]
+    return jnp.exp(edge).reshape(T, N, C)
+
+
+def _viterbi_traceback(scores, n_base: int, state_len: int):
+    """Explicit Max-semiring traceback.
+
+    Returns (labels [T, N] in 0..n_base, states [T, N]): the column k and
+    new-state j of the transition taken at each frame on the best path.
+    """
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    nsd = ns // n_base
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    alpha0 = jnp.zeros((N, ns), scores.dtype)
+
+    def fwd(alpha, ms_t):
+        stay = (alpha + ms_t[..., 0])[..., None]
+        move = _expand_pred(alpha, n_base, ns) + ms_t[..., 1:]
+        full = jnp.concatenate([stay, move], axis=-1)  # [N, ns, nb+1]
+        k = jnp.argmax(full, axis=-1).astype(jnp.int32)
+        return jnp.max(full, axis=-1), k
+
+    alpha_t, ks = jax.lax.scan(fwd, alpha0, Ms)        # ks: [T, N, ns]
+    j_final = jnp.argmax(alpha_t, axis=-1).astype(jnp.int32)  # [N]
+    batch_idx = jnp.arange(N)
+
+    def back(j, k_t):
+        k = k_t[batch_idx, j]                          # [N]
+        prev = jnp.where(k == 0, j, (k - 1) * nsd + j // n_base)
+        return prev, (k, j)
+
+    _, (labels, states) = jax.lax.scan(back, j_final, ks, reverse=True)
+    return labels, states
+
+
+def _viterbi_onehot(scores, n_base: int, state_len: int):
+    """One-hot [T, N, C] marking the best path's transition per frame —
+    the gradient of the Max-semiring logZ (what torch autograd produces
+    for the reference's traceback, crf/model.py:92-95)."""
+    T, N, C = scores.shape
+    labels, states = _viterbi_traceback(scores, n_base, state_len)
+    flat = states * (n_base + 1) + labels              # [T, N] in [0, C)
+    return jax.nn.one_hot(flat, C, dtype=scores.dtype)
+
+
+logz_fwd.defvjp(_logz_fwd_fwd, _logz_fwd_bwd)
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len", "semiring"))
@@ -154,12 +243,14 @@ def posteriors(scores, n_base: int, state_len: int, semiring: str = LOG):
 def viterbi_path(scores, n_base: int, state_len: int):
     """Most-likely per-frame labels: [T, N, C] -> [T, N] ints in [0, n_base].
 
-    Replicates reference crf/model.py:92-95: argmax over C of the Max-semiring
-    traceback, modulo (n_base+1).  Label 0 is stay/blank; label k>=1 is
-    alphabet[k] in the (new_state, dropped_base) layout.
+    Replicates reference crf/model.py:92-95 (argmax over C of the
+    Max-semiring traceback, modulo n_base+1) via the explicit traceback:
+    the chosen transition's column IS that argmax-mod.  Label 0 is
+    stay/blank; label k>=1 is alphabet[k] in the (new_state, dropped_base)
+    layout.
     """
-    tb = posteriors(scores, n_base, state_len, MAX)
-    return jnp.argmax(tb.reshape(scores.shape), axis=2) % (n_base + 1)
+    labels, _ = _viterbi_traceback(scores, n_base, state_len)
+    return labels
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len"))
@@ -168,10 +259,11 @@ def decode_paths(scores, n_base: int, state_len: int):
 
     Replicates SeqdistModel.decode_batch (reference crf/model.py:215-218):
     Log-semiring posteriors, + 1e-8, log, then Viterbi on the re-logged
-    posteriors.  Runs in float32 (the reference CPU parity path).
+    posteriors.  Runs in float32 (the reference CPU parity path), using
+    the explicit fwd/bwd recursions throughout.
     """
     scores = scores.astype(jnp.float32)
-    post = posteriors(scores, n_base, state_len, LOG) + 1e-8
+    post = _edge_posteriors(scores, n_base, state_len) + 1e-8
     paths = viterbi_path(jnp.log(post), n_base, state_len)
     return paths.T.astype(jnp.int32)
 
@@ -208,6 +300,16 @@ def prepare_ctc_scores(scores, targets, n_base: int, state_len: int):
     return stay, move
 
 
+def _ctc_step(alpha, stay_t, move_t, semiring):
+    # Positions beyond a sample's length-1 never flow back into the
+    # read-out position, so no per-sample masking is needed.
+    stayed = alpha + stay_t
+    moved = alpha[:, :-1] + move_t
+    upper = semiring_sum(
+        jnp.stack([stayed[:, 1:], moved], -1), -1, semiring)
+    return jnp.concatenate([stayed[:, :1], upper], axis=1)
+
+
 @partial(jax.jit, static_argnames=("semiring",))
 def ctc_lattice_logz(stay, move, lengths, semiring: str = LOG):
     """logZ of the stay/move CTC alignment lattice.
@@ -220,19 +322,68 @@ def ctc_lattice_logz(stay, move, lengths, semiring: str = LOG):
     alpha = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
 
     def step(alpha, inp):
-        # Positions beyond a sample's length-1 never flow back into the
-        # read-out position, so no per-sample masking is needed.
-        stay_t, move_t = inp
-        stayed = alpha + stay_t
-        moved = alpha[:, :-1] + move_t
-        upper = semiring_sum(
-            jnp.stack([stayed[:, 1:], moved], -1), -1, semiring)
-        new = jnp.concatenate([stayed[:, :1], upper], axis=1)
-        return new, None
+        return _ctc_step(alpha, *inp, semiring), None
 
     alpha_t, _ = jax.lax.scan(step, alpha, (stay, move))
     idx = jnp.clip(lengths - 1, 0, n - 1)[:, None]
     return jnp.take_along_axis(alpha_t, idx, axis=1)[:, 0]
+
+
+@jax.custom_vjp
+def ctc_lattice_logz_grad(stay, move, lengths):
+    """Log-semiring lattice logZ with an explicit-recursion VJP.
+
+    The gradients w.r.t. stay/move scores are the lattice edge posteriors —
+    computed by a backward scan instead of differentiating through the
+    forward scan (same rationale as logz_fwd's custom VJP).
+    """
+    return ctc_lattice_logz(stay, move, lengths, LOG)
+
+
+def _ctc_lattice_fwd(stay, move, lengths):
+    return ctc_lattice_logz(stay, move, lengths, LOG), (stay, move, lengths)
+
+
+def _ctc_lattice_bwd(res, ct):
+    stay, move, lengths = res
+    T, N, n = stay.shape
+    # forward partials
+    alpha0 = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
+
+    def fstep(alpha, inp):
+        new = _ctc_step(alpha, *inp, LOG)
+        return new, alpha  # store alpha_t (pre-transition)
+
+    alpha_T, alphas = jax.lax.scan(fstep, alpha0, (stay, move))
+    idx = jnp.clip(lengths - 1, 0, n - 1)[:, None]
+    logz = jnp.take_along_axis(alpha_T, idx, axis=1)[:, 0]
+
+    # backward partials: beta_T[l] = 0 iff l == length-1
+    pos = jnp.arange(n)[None, :]
+    betaT = jnp.where(pos == (lengths - 1)[:, None], 0.0, _NEG_INF
+                      ).astype(stay.dtype)
+
+    def bstep(beta, inp):
+        stay_t, move_t = inp
+        stay_term = stay_t + beta
+        move_term = move_t + beta[:, 1:]
+        new = jnp.concatenate([
+            jnp.logaddexp(stay_term[:, :-1], move_term),
+            stay_term[:, -1:],
+        ], axis=1)
+        return new, beta  # store beta_{t+1}
+
+    _, betas = jax.lax.scan(bstep, betaT, (stay, move), reverse=True)
+
+    norm = ct[None, :, None]
+    d_stay = jnp.exp(alphas + stay + betas - logz[None, :, None]) * norm
+    d_move = jnp.exp(alphas[:, :, :-1] + move + betas[:, :, 1:]
+                     - logz[None, :, None]) * norm
+    return (d_stay.astype(stay.dtype), d_move.astype(move.dtype),
+            np.zeros(lengths.shape, dtype=jax.dtypes.float0))
+
+
+ctc_lattice_logz_grad.defvjp(_ctc_lattice_fwd, _ctc_lattice_bwd)
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len", "loss_clip",
@@ -249,7 +400,7 @@ def ctc_loss(scores, targets, target_lengths, n_base: int, state_len: int,
     if normalise_scores:
         scores = normalise(scores, n_base, state_len)
     stay, move = prepare_ctc_scores(scores, targets, n_base, state_len)
-    logz = ctc_lattice_logz(stay, move, target_lengths + 1 - state_len)
+    logz = ctc_lattice_logz_grad(stay, move, target_lengths + 1 - state_len)
     loss = -(logz / target_lengths)
     if loss_clip:
         loss = jnp.clip(loss, 0.0, loss_clip)
