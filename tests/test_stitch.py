@@ -1,0 +1,161 @@
+"""Stitch (splice) augmentation tests against a crafted XNA library.
+
+Builds a synthetic XNA ctc-dataset with the real library's structure —
+single UB with mirrored 5-base context (the XNA1024 design the reference
+relies on, stitch_chunks.py:468) — and verifies slicing, bucketing, and
+device-side splicing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.augment.stitch import (
+    KMER_LEN, StitchTables, _tpl_code, make_stitch_augment,
+    slice_xna_tables, stitch_batch,
+)
+from xna_basecaller_tpu.data.ctc_data import save_ctc_data
+from xna_basecaller_tpu.data.pore_model import load_pore_model
+from xna_basecaller_tpu.data.simulate import simulate_squiggle
+
+# Period-6 base pattern: a target tiled with it mirrors its 5-base context
+# around EVERY position (target[p+1+j] == target[p-5+j]), which is the
+# XNA1024 library property the per_kmer lookup relies on.
+HEX = np.array([1, 2, 3, 4, 2, 3], np.uint8)
+
+
+def _ctx_for(rot):
+    """5-base context seen around a position with residue ``rot`` in the
+    period-6 pattern: the other five bases of the cycle, in order."""
+    return np.array([HEX[(rot + 1 + j) % 6] for j in range(5)], np.uint8)
+
+
+def _xna_read(rng, pore, ub_code=5, rot=0):
+    """Target: DNA with one mirrored-context UB: ...c1..c5 UB c1..c5..."""
+    ctx = _ctx_for(rot)
+    pre = rng.integers(1, 5, size=20).astype(np.uint8)
+    post = rng.integers(1, 5, size=20).astype(np.uint8)
+    target = np.concatenate([pre, ctx, [ub_code], ctx, post]).astype(np.uint8)
+    signal, bkps = simulate_squiggle(target, pore, rng)
+    return target, signal, bkps
+
+
+@pytest.fixture(scope="module")
+def xna_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xna_ctc")
+    pore = load_pore_model()
+    rng = np.random.default_rng(0)
+    n = 40
+    chunk_len = 1200
+    max_len = 80
+    chunks = np.zeros((n, chunk_len), np.float16)
+    refs = np.zeros((n, max_len), np.uint8)
+    lens = np.zeros(n, np.uint16)
+    bkps_arr = np.zeros((n, max_len), np.uint16)
+    for i in range(n):
+        ub = 5 if (i // 6) % 2 == 0 else 6
+        rot = i % 6
+        target, signal, bkps = _xna_read(rng, pore, ub_code=ub, rot=rot)
+        L = len(target)
+        chunks[i, : min(len(signal), chunk_len)] = \
+            signal[:chunk_len].astype(np.float16)
+        refs[i, :L] = target
+        lens[i] = L
+        bkps_arr[i, :L] = np.minimum(bkps[:L], chunk_len)
+    save_ctc_data(str(d), chunks, refs, lens, bkps_arr)
+    return str(d)
+
+
+def test_tpl_code_base4():
+    assert _tpl_code(np.array([1, 1, 1, 1, 1])) == 0
+    assert _tpl_code(np.array([4, 4, 4, 4, 4])) == 1023
+    assert _tpl_code(np.array([1, 1, 1, 1, 2])) == 1
+
+
+def test_slice_tables_built(xna_dir):
+    tables = slice_xna_tables(xna_dir, cap=8)
+    # every UB x kmer_ub_pos has candidates somewhere
+    for ub in (0, 1):
+        for kup in range(KMER_LEN):
+            assert tables.counts[ub, kup].sum() > 0, (ub, kup)
+    # slice lengths positive where counted
+    filled = tables.counts > 0
+    assert (tables.lens[filled] > 0).any()
+    # the mirrored-context buckets exist for each rotation
+    for rot in range(6):
+        tpl = _tpl_code(_ctx_for(rot))
+        assert tables.counts[0, :, tpl].sum() > 0, rot
+
+
+@pytest.fixture(scope="module")
+def dna_batch():
+    """DNA chunks whose targets are the periodic cycle — every position's
+    rotated context exists in the XNA tables."""
+    pore = load_pore_model()
+    rng = np.random.default_rng(1)
+    B, chunk_len, L = 4, 2400, 120
+    chunks = np.zeros((B, chunk_len), np.float32)
+    refs = np.zeros((B, L), np.int32)
+    lens = np.full(B, L, np.int32)
+    bkps = np.zeros((B, L), np.int32)
+    for i in range(B):
+        target = np.tile(HEX, L // 6 + 1)[:L].astype(np.uint8)
+        signal, bk = simulate_squiggle(target, pore, rng)
+        chunks[i, : min(len(signal), chunk_len)] = signal[:chunk_len]
+        refs[i] = target
+        bkps[i] = np.minimum(bk[:L], chunk_len)
+    return chunks, refs, lens, bkps
+
+
+def test_stitch_inserts_ubs_and_splices(xna_dir, dna_batch):
+    tables = slice_xna_tables(xna_dir, cap=8)
+    chunks, refs, lens, bkps = dna_batch
+    c, t, success = stitch_batch(
+        jax.random.key(0), jnp.asarray(chunks), jnp.asarray(refs),
+        jnp.asarray(lens), jnp.asarray(bkps),
+        jnp.asarray(tables.signals), jnp.asarray(tables.lens),
+        jnp.asarray(tables.counts), prop_ubs=0.08, ub_codes=(5, 6))
+    c, t, success = np.asarray(c), np.asarray(t), np.asarray(success)
+    assert success.all()
+    for i in range(len(lens)):
+        L = int(lens[i])
+        new_ubs = np.where(t[i, :L] > 4)[0]
+        assert len(new_ubs) >= 1
+        # UBs respect edge margins
+        assert np.all(new_ubs >= 10) and np.all(new_ubs < L - 10)
+        # signal changed only inside spliced spans
+        changed = np.where(np.abs(c[i] - chunks[i]) > 1e-6)[0]
+        assert len(changed) > 0
+        spans = [(int(bkps[i, p - 6]), int(bkps[i, p])) for p in new_ubs]
+        for s in changed:
+            assert any(lo <= s < hi for lo, hi in spans), (s, spans)
+        # non-UB target positions unchanged
+        keep = np.setdiff1d(np.arange(L), new_ubs)
+        np.testing.assert_array_equal(t[i, keep], refs[i, keep])
+
+
+def test_stitch_sparse_tables_skip_gracefully(dna_batch):
+    """Empty tables -> no splice, chunk untouched, success False."""
+    chunks, refs, lens, bkps = dna_batch
+    empty = StitchTables(
+        np.zeros((2, 6, 1024, 4, 100), np.float32),
+        np.zeros((2, 6, 1024, 4), np.int32),
+        np.zeros((2, 6, 1024), np.int32))
+    c, t, success = stitch_batch(
+        jax.random.key(0), jnp.asarray(chunks), jnp.asarray(refs),
+        jnp.asarray(lens), jnp.asarray(bkps),
+        jnp.asarray(empty.signals), jnp.asarray(empty.lens),
+        jnp.asarray(empty.counts), prop_ubs=0.08)
+    assert not np.asarray(success).any()
+    np.testing.assert_allclose(np.asarray(c), chunks)
+    np.testing.assert_array_equal(np.asarray(t), refs)
+
+
+def test_make_stitch_augment_closure(xna_dir, dna_batch):
+    chunks, refs, lens, bkps = dna_batch
+    aug = make_stitch_augment(xna_dir, ubs="X", cap=8)
+    rng = np.random.default_rng(2)
+    c, t = aug(chunks, refs, lens, bkps, rng)
+    assert (t > 4).sum() > 0
+    assert set(np.unique(t[t > 4])) == {5}

@@ -1,0 +1,336 @@
+"""Stitch (splice) augmentation: insert real-XNA signal slices, device-side.
+
+TPU-first re-design of the reference's splice augmentation (reference:
+ub-bonito/bonito/stitch_chunks.py) — the best-performing training mode and
+its documented CPU bottleneck (per-sample pandas candidate search).
+
+Offline (host, once per dataset): ``slice_xna_tables`` scans the real-XNA
+ctc-data for single-UB reads and packs the signal slice around each UB into
+dense device tables, bucketed exactly like the reference's groupby
+(stitch_chunks.py:226-234): per_kmer buckets are (ub, kmer_ub_pos,
+template-code) where template is the 5 natural bases before the UB
+(base-4 coded); the lookup side reconstructs the same key by rotating the
+insert k-mer (stitch_chunks.py:364-377) — valid because the XNA library
+templates mirror the 5 bases on both sides of the UB (the per_slice mode's
+``x[:5] == x[6:]`` check, stitch_chunks.py:468).
+
+Online (device, jitted + vmapped): choose insert positions (same rules as
+spike), pick a UB, and for each of the 6 k-mers covering it gather a
+candidate bucket, sample ``cand_sample_size`` candidates and keep the one
+closest in length to the local dwell span (stitch_chunks.py:392-407), then
+resample it to the span and splice.
+
+Documented deviation: length adaptation resamples each k-mer slice to its
+exact local dwell span by linear index mapping (instead of the composite
+boundary-aware interp of prepare_slice_chunk, stitch_chunks.py:241-271) —
+same intent (no cross-k-mer interpolation), simpler fixed shapes.
+The in-window permute transform is not implemented (off by default in the
+reference); the noise transforms are.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xna_basecaller_tpu.data.ctc_data import load_numpy_datasets
+
+KMER_LEN = 6
+MAX_KMER_SPAN = 100     # max_kmer_cnt filter (stitch_chunks.py:158-160)
+MAX_SPAN = 360          # max spliced signal span (6 k-mers)
+N_TPL = 4 ** 5          # 1024 natural 5-base contexts
+
+
+@dataclass
+class StitchTables:
+    """Dense per_kmer slice tables.
+
+    signals [2, 6, 1024, cap, MAX_KMER_SPAN] f32 — (ub-5, kmer_ub_pos,
+    tpl_code, candidate, samples); lens [..., cap] i32; counts [...] i32.
+    """
+
+    signals: np.ndarray
+    lens: np.ndarray
+    counts: np.ndarray
+
+    @property
+    def cap(self) -> int:
+        return self.signals.shape[3]
+
+
+def _tpl_code(bases: np.ndarray) -> int:
+    """5 natural base codes (1..4) -> base-4 context code."""
+    out = 0
+    for b in bases:
+        out = out * 4 + (int(b) - 1)
+    return out
+
+
+def slice_xna_tables(xna_ctc_dir: str, cap: int = 32, edge_len: int = 5,
+                     max_kmer_cnt: int = MAX_KMER_SPAN,
+                     seed: int = 0) -> StitchTables:
+    """Scan single-UB XNA ctc-data into dense per_kmer slice tables
+    (replaces slice_xna + pandas groupby, stitch_chunks.py:127-239).
+
+    When a bucket overflows ``cap``, reservoir sampling keeps a uniform
+    subset (the reference keeps all candidates and samples at lookup time;
+    with cap >= cand_sample_size the sampled distribution matches).
+    """
+    chunks, targets, lengths, bkps = load_numpy_datasets(
+        xna_ctc_dir, load_bkps=True)
+    rng = np.random.default_rng(seed)
+    signals = np.zeros((2, KMER_LEN, N_TPL, cap, MAX_KMER_SPAN), np.float32)
+    lens = np.zeros((2, KMER_LEN, N_TPL, cap), np.int32)
+    counts = np.zeros((2, KMER_LEN, N_TPL), np.int64)
+
+    for read_idx in range(len(lengths)):
+        length = int(lengths[read_idx])
+        target = np.asarray(targets[read_idx, :length])
+        bkp = np.asarray(bkps[read_idx, :length]).astype(np.int64)
+        ub_hits = np.argwhere(target > 4)
+        if len(ub_hits) == 0:
+            continue
+        ub_pos = int(ub_hits[0, 0])  # first UB (reference line 148)
+        if not edge_len < ub_pos < length - edge_len:
+            continue
+        slice_bkp = bkp[ub_pos - KMER_LEN: ub_pos + 1]
+        kmer_cnts = np.diff(slice_bkp)
+        if max_kmer_cnt and kmer_cnts.max() > max_kmer_cnt:
+            continue
+        context = target[ub_pos - 5: ub_pos]
+        if np.any(context > 4) or np.any(context == 0):
+            continue  # multi-UB context or blank: not representable base-4
+        tpl = _tpl_code(context)
+        ub_idx = int(target[ub_pos]) - 5
+        chunk = np.asarray(chunks[read_idx], np.float32)
+        for kmer_idx in range(KMER_LEN):
+            kmer_ub_pos = KMER_LEN - kmer_idx - 1
+            st, en = int(slice_bkp[kmer_idx]), int(slice_bkp[kmer_idx + 1])
+            seg = chunk[st:en]
+            n = counts[ub_idx, kmer_ub_pos, tpl]
+            if n < cap:
+                slot = n
+            else:  # reservoir
+                j = rng.integers(0, n + 1)
+                if j >= cap:
+                    counts[ub_idx, kmer_ub_pos, tpl] += 1
+                    continue
+                slot = j
+            L = min(len(seg), MAX_KMER_SPAN)
+            signals[ub_idx, kmer_ub_pos, tpl, slot, :L] = seg[:L]
+            signals[ub_idx, kmer_ub_pos, tpl, slot, L:] = 0
+            lens[ub_idx, kmer_ub_pos, tpl, slot] = L
+            counts[ub_idx, kmer_ub_pos, tpl] += 1
+    return StitchTables(signals, lens,
+                        np.minimum(counts, cap).astype(np.int32))
+
+
+def _noise_transform(key, sig, noise_std: float, noise_mode: str):
+    """transform_chunk noise modes (stitch_chunks.py:299-319)."""
+    if not noise_std:
+        return sig
+    k1, k2 = jax.random.split(key)
+    if noise_mode == "single":
+        return sig + jax.random.truncated_normal(
+            k1, -3.0, 3.0, sig.shape) * noise_std
+    if noise_mode == "single_variable":
+        s = jax.random.uniform(k2, (), minval=0.0, maxval=noise_std)
+        return sig + jax.random.truncated_normal(k1, -3.0, 3.0, sig.shape) * s
+    if noise_mode == "block_add":
+        return sig + jax.random.uniform(
+            k1, (), minval=-noise_std, maxval=noise_std)
+    if noise_mode == "block_mult":
+        return sig * (1.0 + jax.random.uniform(
+            k1, (), minval=-noise_std, maxval=noise_std))
+    raise ValueError(f"Invalid noise mode = {noise_mode}")
+
+
+@partial(jax.jit, static_argnames=("prop_ubs", "max_stitches", "pad",
+                                   "cand_sample_size", "ub_codes",
+                                   "noise_std", "noise_mode"))
+def stitch_batch(key, chunks, targets, lengths, breakpoints,
+                 tbl_signals, tbl_lens, tbl_counts,
+                 prop_ubs: float = 0.10, max_stitches: int = 64,
+                 pad: int = 5, cand_sample_size: int = 5,
+                 ub_codes: tuple = (5, 6), noise_std: float = 0.0,
+                 noise_mode: str = "single"):
+    """Vectorised per_kmer stitch over a batch; returns
+    (chunks', targets', success [B] bool)."""
+    B, T = chunks.shape
+    keys = jax.random.split(key, B)
+
+    def one(k, c, t, l, b):
+        return _stitch_one(k, c, t, l, b, tbl_signals, tbl_lens, tbl_counts,
+                           prop_ubs, max_stitches, pad, cand_sample_size,
+                           ub_codes, noise_std, noise_mode, T,
+                           targets.shape[1])
+
+    return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
+
+
+def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
+                tbl_counts, prop_ubs, max_stitches, pad, cand_sample_size,
+                ub_codes, noise_std, noise_mode, T, L):
+    from xna_basecaller_tpu.augment.spike import _choose_positions
+
+    k_pos, k_ub, k_cand, k_noise = jax.random.split(key, 4)
+    pos_idx = jnp.arange(L)
+    in_len = pos_idx < length
+    bkps = jnp.where(in_len, bkps, T + 1)
+
+    is_ub = (target > 4) & in_len
+    width = 4 * pad + 1
+    dil = jnp.convolve(is_ub.astype(jnp.float32),
+                       jnp.ones((width,), jnp.float32), mode="same")
+    ub_window = dil > 0
+
+    n_existing = is_ub.sum()
+    n_pos = jnp.maximum(
+        jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
+    n_pos = jnp.minimum(n_pos, max_stitches)
+    picks = _choose_positions(k_pos, length, n_pos, max_stitches, pad,
+                              ub_window, L)
+    picked = picks >= 0
+    safe_picks = jnp.clip(picks, 0, L - 1)
+
+    codes = jnp.asarray(ub_codes, jnp.int32)
+    ub_choice = jax.random.randint(k_ub, (max_stitches,), 0, len(ub_codes))
+    spiked_ubs = codes[ub_choice]
+
+    cand_keys = jax.random.split(k_cand, max_stitches * KMER_LEN
+                                 ).reshape(max_stitches, KMER_LEN, -1)
+    noise_keys = jax.random.split(k_noise, max_stitches * KMER_LEN
+                                  ).reshape(max_stitches, KMER_LEN, -1)
+    zt = jnp.clip(target - 1, 0, 5)  # 0-based base codes
+    cap = tbl_lens.shape[3]
+
+    def body(i, carry):
+        new_chunk, new_target, any_success = carry
+        pos = safe_picks[i]
+        active = picked[i]
+        ub_code = spiked_ubs[i]
+        ub_idx = ub_code - 5
+
+        ins_st = bkps[jnp.clip(pos - KMER_LEN, 0, L - 1)]
+        ins_en = bkps[pos]
+
+        # per-k-mer dwell spans from the original read's breakpoints
+        kb = jnp.stack([bkps[jnp.clip(pos - KMER_LEN + j, 0, L - 1)]
+                        for j in range(KMER_LEN + 1)])
+        reps = jnp.diff(kb)                       # [6]
+        reps = jnp.clip(reps, 1, MAX_KMER_SPAN)
+
+        # context codes for each covering k-mer (rotated template):
+        # tpl(kmer_idx) = target[pos+1 .. pos+kmer_idx]
+        #               + target[pos-(5-kmer_idx) .. pos-1], base-4
+        def tpl_for(kmer_idx):
+            after = [zt[jnp.clip(pos + 1 + j, 0, L - 1)]
+                     for j in range(kmer_idx)]
+            before = [zt[jnp.clip(pos - (5 - kmer_idx) + j, 0, L - 1)]
+                      for j in range(5 - kmer_idx)]
+            bases = after + before
+            code = jnp.int32(0)
+            for b in bases:
+                code = code * 4 + jnp.clip(b, 0, 3)
+            return code
+
+        tpls = jnp.stack([tpl_for(ki) for ki in range(KMER_LEN)])  # [6]
+        kmer_ub_pos = jnp.arange(KMER_LEN - 1, -1, -1)             # [6]
+
+        # candidate selection per k-mer
+        def pick_candidate(ki):
+            cnt = tbl_counts[ub_idx, kmer_ub_pos[ki], tpls[ki]]
+            valid = jnp.arange(cap) < cnt
+            r = jax.random.uniform(cand_keys[i, ki, 0], (cap,))
+            r = jnp.where(valid, r, 1e9)
+            order = jnp.argsort(r)
+            sampled = order[:cand_sample_size]
+            cl = tbl_lens[ub_idx, kmer_ub_pos[ki], tpls[ki]][sampled]
+            sampled_valid = valid[sampled]
+            diff = jnp.where(sampled_valid,
+                             jnp.abs(cl - reps[ki]), 10 ** 6)
+            best = sampled[jnp.argmin(diff)]
+            ok = cnt > 0
+            return best, ok
+
+        bests, oks = zip(*[pick_candidate(ki) for ki in range(KMER_LEN)])
+        bests = jnp.stack(bests)
+        all_ok = jnp.all(jnp.stack(oks))
+        do_it = active & all_ok
+
+        # compose the span: each k-mer slice resampled to its dwell span
+        offsets = jnp.concatenate([jnp.zeros((1,), reps.dtype),
+                                   jnp.cumsum(reps)])
+        total = offsets[-1]
+        samp = jnp.arange(MAX_SPAN)
+        which = jnp.clip(
+            jnp.searchsorted(offsets[1:], samp, side="right"), 0,
+            KMER_LEN - 1)
+        within = samp - offsets[which]
+        src_sig = jnp.stack(
+            [tbl_signals[ub_idx, kmer_ub_pos[ki], tpls[ki], bests[ki]]
+             for ki in range(KMER_LEN)])          # [6, MAXK]
+        src_len = jnp.stack(
+            [tbl_lens[ub_idx, kmer_ub_pos[ki], tpls[ki], bests[ki]]
+             for ki in range(KMER_LEN)])          # [6]
+        src_idx = jnp.clip(
+            (within * src_len[which]) // jnp.maximum(reps[which], 1),
+            0, MAX_KMER_SPAN - 1)
+        span_sig = src_sig[which, src_idx]        # [MAX_SPAN]
+        if noise_std:
+            span_sig = _noise_transform(
+                noise_keys[i, 0, 0], span_sig, noise_std, noise_mode)
+
+        write_mask = (samp < jnp.minimum(total, ins_en - ins_st)) & do_it
+        idx = jnp.clip(ins_st + samp, 0, T - 1)
+        cur = new_chunk[idx]
+        new_chunk = new_chunk.at[idx].set(
+            jnp.where(write_mask, span_sig, cur))
+        new_target = new_target.at[pos].set(
+            jnp.where(do_it, ub_code, new_target[pos]))
+        return new_chunk, new_target, any_success | do_it
+
+    out_chunk, out_target, success = jax.lax.fori_loop(
+        0, max_stitches, body,
+        (chunk, target, jnp.asarray(False)))
+    return out_chunk, out_target, success
+
+
+_UB_CODE_MAP = {"X": (5,), "Y": (6,), "XY": (5, 6)}
+
+
+def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
+                        prop_ubs: float = 0.10, cand_sample_size: int = 5,
+                        cap: int = 32, noise_std: float = 0.0,
+                        noise_mode: str = "single",
+                        tables: StitchTables | None = None):
+    """Build a ChunkDataset-compatible augment closure (stitch then done).
+
+    Pass a precomputed ``tables`` to skip the ctc-data scan (e.g. in
+    tests); otherwise the xna_ctc_dir is sliced once at build time, like
+    the reference's slice_xna pre-index (data.py:24-26).
+    """
+    if tables is None:
+        tables = slice_xna_tables(xna_ctc_dir, cap=cap)
+    sig = jnp.asarray(tables.signals)
+    lens = jnp.asarray(tables.lens)
+    counts = jnp.asarray(tables.counts)
+    ub_codes = _UB_CODE_MAP[ubs]
+
+    def augment(chunks, targets, lengths, breakpoints, rng):
+        seed = int(rng.integers(0, 2 ** 31 - 1))
+        key = jax.random.key(seed)
+        c, t, _ = stitch_batch(
+            key, jnp.asarray(chunks), jnp.asarray(targets, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(breakpoints, jnp.int32),
+            sig, lens, counts,
+            prop_ubs=prop_ubs, cand_sample_size=cand_sample_size,
+            ub_codes=ub_codes, noise_std=noise_std, noise_mode=noise_mode)
+        return np.asarray(c), np.asarray(t)
+
+    return augment

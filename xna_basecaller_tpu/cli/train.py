@@ -32,13 +32,28 @@ def main(args):
     valid_augment = None
     need_bkps = bool(args.ubs) and (args.spike or args.stitch)
     if need_bkps:
-        from xna_basecaller_tpu.augment.spike import make_spike_augment
+        augments = []
+        if args.stitch:
+            from xna_basecaller_tpu.augment.stitch import make_stitch_augment
+            augments.append(make_stitch_augment(
+                args.xna_ctc_dir or args.directory, ubs=args.ubs,
+                prop_ubs=args.ub_prop,
+                cand_sample_size=args.cand_sample_size))
         if args.spike:
-            augment = make_spike_augment(
+            from xna_basecaller_tpu.augment.spike import make_spike_augment
+            augments.append(make_spike_augment(
                 ubs=args.ubs, prop_ubs=args.ub_prop,
                 noise_std=args.noise_std, std_dist=args.std_dist,
-                fully_synth=args.fully_synth)
-            valid_augment = augment
+                fully_synth=args.fully_synth))
+
+        def augment(chunks, targets, lengths, bkps, rng,
+                    _augs=tuple(augments)):
+            # reference order: stitch first, then spike (data.py:70-79)
+            for a in _augs:
+                chunks, targets = a(chunks, targets, lengths, bkps, rng)
+            return chunks, targets
+
+        valid_augment = augment
 
     train_data, valid_data = load_datasets(
         args.directory, limit=args.chunks or None, load_bkps=need_bkps,
@@ -116,6 +131,9 @@ def argparser():
     parser.add_argument("--ubs", default="", choices=["", "X", "Y", "XY", "N"],
                         help="unnatural bases to insert")
     parser.add_argument("--ub-prop", default=0.10, type=float)
+    parser.add_argument("--xna-ctc-dir", default=None,
+                        help="real-XNA ctc-data for stitch slices")
+    parser.add_argument("--cand-sample-size", default=5, type=int)
     parser.add_argument("--noise-std", default=1.0, type=float)
     parser.add_argument("--std-dist", default="truncnorm_shift_1.5_0.5")
     parser.add_argument("--fully-synth", action="store_true")
