@@ -1,0 +1,214 @@
+"""Eval stack tests: template db, built-in aligner, cs forensics, analyzer."""
+
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.core.alphabet import reverse_complement_str
+from xna_basecaller_tpu.eval import cs_align
+from xna_basecaller_tpu.eval.analyze import (
+    analyze_paf, compute_stats_error_rate,
+)
+from xna_basecaller_tpu.eval.ref_align import (
+    align_read, read_paf, write_paf,
+)
+from xna_basecaller_tpu.eval.xna_refs import XnaRefs, identify_ref
+
+
+@pytest.fixture(scope="module")
+def poc():
+    return XnaRefs("POC")
+
+
+def test_poc_merges_libraries(poc):
+    # XNA16: 16 XNA + 16 PC; XNA_4Ds: 4 XNA + 4 PC (aliased XNA17-20)
+    assert len(poc.targets) == 40
+    assert "XNA01" in poc.targets and "PC01" in poc.targets
+    assert "XNA17" in poc.targets and "PC17" in poc.targets
+    # every XNA target has at least one UB position ('N'); the multi-UB
+    # templates are XNA13-16 (2 UBs) and the 4Ds set XNA17-20 (4 UBs)
+    for tid in poc.xna_targets_id:
+        assert len(poc.x_pos[tid]) >= 1, tid
+    assert len(poc.x_pos["XNA13"]) == 2
+    assert len(poc.x_pos["XNA17"]) == 4
+    # XNA16 PC templates have no UB; the 4Ds "PC" entries are aliases of
+    # the same N-bearing sequences (reference xna_refs.py:178-180)
+    for tid in [t for t in poc.pc_targets_id if not t.startswith("PC1") or
+                int(t[2:]) <= 16]:
+        if tid in ("PC17", "PC18", "PC19", "PC20"):
+            continue
+        assert len(poc.x_pos[tid]) == 0, tid
+
+
+def test_poc_barcodes_and_kmers(poc):
+    for tid in poc.targets_id:
+        assert len(poc.barcodes[tid]) == 24
+        tar = poc.targets[tid]
+        b0, b1 = poc.barcodes_pos[tid]
+        assert tar[b0:b1] == poc.barcodes[tid]
+    # complement mapping round-trips
+    assert poc.get_complement_target_id("XNA01") == "PC01"
+    assert poc.get_complement_target_id("PC01") == "XNA01"
+
+
+def test_cplx_library():
+    cplx = XnaRefs("CPLX")
+    assert len(cplx.targets) == 1024
+    assert all(len(v) for v in cplx.targets.values())
+    tid = cplx.targets_id[0]
+    assert len(cplx.barcodes[tid]) == 30
+    assert cplx.get_complement_target_id(tid) == tid
+
+
+def test_identify_ref(poc):
+    refs = identify_ref(["XNA01", "XNA02"])
+    assert refs is not None and "XNA01" in refs.targets
+
+
+def test_align_exact_read_forward(poc):
+    tid = "XNA01"
+    tar = poc.targets[tid]
+    read = tar.replace("N", "X")
+    rec = align_read("r0", read, poc.targets)
+    assert rec is not None
+    assert rec.target_id == tid and rec.strand == "+"
+    assert rec.target_start == 0 and rec.target_end == len(tar)
+    # error vector against X-encoded target: zero errors
+    errors, tm = cs_align.compute_errors(
+        rec.as_dict(), tar.replace("N", "X"),
+        read_seq=read[rec.read_start:rec.read_end])
+    assert errors.sum() == 0
+
+
+def test_align_reverse_strand(poc):
+    tid = "XNA03"
+    tar = poc.targets[tid]
+    read = reverse_complement_str(tar.replace("N", "X"))  # X -> Y
+    assert "Y" in read
+    rec = align_read("r1", read, poc.targets)
+    assert rec is not None
+    assert rec.target_id == tid and rec.strand == "-"
+    seq = read[rec.read_start:rec.read_end]
+    seq = reverse_complement_str(seq)
+    errors, tm = cs_align.compute_errors(
+        rec.as_dict(), tar.replace("N", "X"), read_seq=seq)
+    assert errors.sum() == 0
+
+
+def test_align_with_errors_counts_mismatches(poc):
+    tid = "XNA01"
+    tar = poc.targets[tid]
+    read = list(tar.replace("N", "X"))
+    # substitute 2 bases away from the UB
+    read[20] = "A" if read[20] != "A" else "C"
+    read[40] = "A" if read[40] != "A" else "C"
+    read = "".join(read)
+    rec = align_read("r2", read, poc.targets)
+    assert rec.target_id == tid
+    errors, _ = cs_align.compute_errors(
+        rec.as_dict(), tar.replace("N", "X"),
+        read_seq=read[rec.read_start:rec.read_end])
+    assert errors.sum() == 2
+
+
+def test_paf_roundtrip(tmp_path, poc):
+    tid = "XNA01"
+    read = poc.targets[tid].replace("N", "X")
+    rec = align_read("r0", read, poc.targets)
+    path = str(tmp_path / "a.paf")
+    write_paf([rec.as_dict()], path)
+    back = read_paf(path)
+    assert back[0]["target_id"] == tid
+    assert back[0]["cs"] == rec.cs
+
+
+def test_polish_moves_displaced_ub():
+    #     target : CCCAAXCCCAA
+    #     align  : CGX---CCCAA  ->  CG---XCCCAA
+    target = "CCCAAXCCCAA"
+    tm = np.asarray(list("CGX---CCCAA"))
+    pol = cs_align.polish_target_matches(tm, target)
+    assert pol[5] == "X"
+    assert pol[2] == "-"
+
+
+def test_compute_stats_error_rate_slices():
+    err = np.zeros(30)
+    err[15] = 100.0  # UB position error
+    err[14] = 50.0
+    cuts = compute_stats_error_rate(err, [15], max_dist=10)
+    assert cuts["only_ub"] == [100.0]
+    assert 50.0 in cuts["inside_ub_area"]
+    assert cuts["dist_ub_d-1"].tolist() == [50.0, 0.0]
+    assert len(cuts["no_ub"]) == 29
+
+
+def _make_reads(poc, tids, n_per=3, corrupt_ub=False, rng=None):
+    reads = {}
+    rng = rng or np.random.default_rng(0)
+    for tid in tids:
+        tar = poc.targets[tid].replace("N", "X")
+        for i in range(n_per):
+            seq = tar
+            if corrupt_ub and "X" in tar:
+                p = tar.index("X")
+                seq = tar[:p] + "A" + tar[p + 1:]
+            reads[f"{tid}_f{i}"] = seq
+            reads[f"{tid}_r{i}"] = reverse_complement_str(seq)
+    return reads
+
+
+def test_analyze_paf_end_to_end(tmp_path, poc):
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    tids = ["XNA01", "XNA02", "PC01"]
+    reads = _make_reads(poc, tids, n_per=2)
+    records = align_fastq(reads, poc.targets)
+    summary = analyze_paf("POC", records, reads, max_bc_dist=5,
+                          out_dir=str(tmp_path), log=lambda *a: None)
+    assert summary["num_aligned_reads"] == len(reads)
+    # perfect reads: UB accuracy 100, no errors anywhere
+    assert summary["err_only_ub"] == pytest.approx(0.0, abs=1e-6)
+    assert summary["ub_acc"] == pytest.approx(100.0)
+    # percent_match counts UB positions as mismatches (N never "matches"
+    # in the cigar, same as minimap2) -> just under 100 for XNA targets
+    assert 98.0 < summary["acc_xna"] < 100.0
+    assert summary["acc_pc"] == pytest.approx(100.0)
+    assert summary["false_pos"] == 0 and summary["false_neg"] == 0
+    assert (tmp_path / "results_summ.csv").exists()
+    assert (tmp_path / "results_summ-by_tar.csv").exists()
+
+
+def test_analyze_paf_detects_corrupted_ubs(poc):
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    tids = ["XNA01"]
+    reads = _make_reads(poc, tids, n_per=3, corrupt_ub=True)
+    records = align_fastq(reads, poc.targets)
+    summary = analyze_paf("POC", records, reads, log=lambda *a: None)
+    # every UB miscalled -> err_only_ub 100, ub accuracy 0
+    assert summary["err_only_ub"] == pytest.approx(100.0)
+    assert summary["ub_acc"] == pytest.approx(0.0)
+    assert summary["true_pos"] == 0
+    assert summary["false_neg"] == summary["num_aligned_reads"]
+
+
+def test_analyze_paf_strand_filter(poc):
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    reads = _make_reads(poc, ["XNA01"], n_per=2)
+    records = align_fastq(reads, poc.targets)
+    # ubs='X' keeps only forward reads
+    summary = analyze_paf("POC", records, reads, ubs="X",
+                          log=lambda *a: None)
+    assert summary["num_aligned_reads"] == 2
+
+
+def test_analyze_paf_demux_rejects_wrong_barcode(poc):
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    tid = "XNA01"
+    tar = poc.targets[tid].replace("N", "X")
+    b0, b1 = poc.barcodes_pos[tid]
+    # destroy the barcode region
+    bad = tar[:b0] + "A" * (b1 - b0) + tar[b1:]
+    reads = {"good": tar, "bad": bad}
+    records = align_fastq(reads, poc.targets)
+    summary = analyze_paf("POC", records, reads, max_bc_dist=5,
+                          log=lambda *a: None)
+    assert summary["num_aligned_reads"] == 1
