@@ -1,20 +1,27 @@
-"""``xnacall basecaller`` — basecall fast5 reads to FASTQ.
+"""``xnacall basecaller`` — basecall fast5 reads to FASTQ/SAM, optionally
+aligning to a reference and emitting new ctc training data.
 
-Reference surface: ub-bonito/bonito/cli/basecaller.py.
+Reference surface: ub-bonito/bonito/cli/basecaller.py (incl. --save-ctc,
+--revcomp, --reference).
 """
 
 from __future__ import annotations
 
 import argparse
+import itertools
 import sys
 from time import perf_counter
 
 
 def main(args):
-    import jax
+    import numpy as np
 
-    from xna_basecaller_tpu.data.fast5 import get_reads
-    from xna_basecaller_tpu.infer.basecall import run_basecaller
+    from xna_basecaller_tpu.data.fast5 import get_reads, read_chunks
+    from xna_basecaller_tpu.data.writers import (
+        CtcDataWriter, SamWriter, mean_qscore_from_qstring, summary_row,
+        write_fastq,
+    )
+    from xna_basecaller_tpu.infer.basecall import basecall
     from xna_basecaller_tpu.utils.model_io import load_model
 
     sys.stderr.write(f"> loading model {args.model_directory}\n")
@@ -23,35 +30,102 @@ def main(args):
         chunksize=args.chunksize, batchsize=args.batchsize,
         overlap=args.overlap)
 
+    targets = None
+    if args.reference:
+        from xna_basecaller_tpu.eval.xna_refs import read_fasta
+        sys.stderr.write("> loading reference\n")
+        targets = read_fasta(args.reference)
+    if args.save_ctc and not args.reference:
+        sys.stderr.write(
+            "> a reference is needed to output ctc training data\n")
+        exit(1)
+
     read_ids = None
     if args.read_ids:
         with open(args.read_ids) as fh:
-            read_ids = {line.strip().split()[0] for line in fh if line.strip()}
+            read_ids = {line.strip().split()[0]
+                        for line in fh if line.strip()}
 
     reads = get_reads(
         args.reads_directory, read_ids=read_ids, skip=args.skip,
         n_proc=8, recursive=args.recursive)
     if args.max_reads:
-        import itertools
         reads = itertools.islice(reads, args.max_reads)
 
-    summary = open(args.summary, "w") if args.summary else None
+    chunksize = cfg.basecaller.chunksize
+    if args.save_ctc:
+        reads = (
+            chunk for read in reads
+            for chunk in read_chunks(
+                read, chunksize=chunksize,
+                overlap=cfg.basecaller.overlap)
+        )
+        ctc_writer = CtcDataWriter(
+            args.save_ctc, min_coverage=args.ctc_min_coverage,
+            min_accuracy=args.ctc_min_accuracy, ub_only=args.ub_only,
+            log=lambda *a: sys.stderr.write(" ".join(map(str, a)) + "\n"))
+    else:
+        ctc_writer = None
+
+    sam = None
+    if args.sam and targets is not None:
+        sam = SamWriter(sys.stdout, targets)
+
+    summary_fh = open(args.summary, "w") if args.summary else None
+    summary_header_written = False
+
+    def align(seq):
+        if targets is None:
+            return None, None
+        from xna_basecaller_tpu.eval.ref_align import align_read
+        rec = align_read("q", seq, targets)
+        if rec is None:
+            return None, None
+        refseq = targets[rec.target_id][rec.target_start:rec.target_end]
+        return rec.as_dict(), refseq
+
+    t0 = perf_counter()
+    n_reads = 0
+    n_samples = 0
     try:
-        t0 = perf_counter()
-        stats = run_basecaller(
-            model, params, reads, sys.stdout, summary,
-            chunksize=cfg.basecaller.chunksize,
-            overlap=cfg.basecaller.overlap,
-            batchsize=cfg.basecaller.batchsize,
-            reverse=args.revcomp)
+        for read, attrs in basecall(
+                model, params, reads, chunksize=chunksize,
+                overlap=cfg.basecaller.overlap,
+                batchsize=cfg.basecaller.batchsize, reverse=args.revcomp):
+            n_reads += 1
+            n_samples += len(read.signal)
+            seq, qstring = attrs["sequence"], attrs["qstring"]
+            mean_q = mean_qscore_from_qstring(qstring)
+            mapping, refseq = (None, None)
+            if targets is not None and len(seq):
+                mapping, refseq = align(seq)
+            if ctc_writer is not None:
+                ctc_writer.add(read.signal[:chunksize], seq, mapping,
+                               refseq=refseq)
+            if len(seq):
+                if sam is not None:
+                    sam.write(read.read_id, seq, qstring, mapping)
+                else:
+                    write_fastq(sys.stdout, read.read_id, seq, qstring)
+            if summary_fh is not None:
+                row = summary_row(read, len(seq), mean_q, alignment=mapping)
+                if not summary_header_written:
+                    summary_fh.write("\t".join(row) + "\n")
+                    summary_header_written = True
+                summary_fh.write(
+                    "\t".join(str(v) for v in row.values()) + "\n")
         duration = perf_counter() - t0
-        sys.stderr.write(f"> completed reads: {stats['reads']}\n")
+        if ctc_writer is not None:
+            ctc_writer.save()
+        sys.stderr.write(f"> completed reads: {n_reads}\n")
         sys.stderr.write(f"> duration: {duration:.2f}s\n")
-        sys.stderr.write(f"> samples per second {stats['samples_per_s']:.1E}\n")
+        if duration > 0:
+            sys.stderr.write(
+                f"> samples per second {n_samples / duration:.1E}\n")
         sys.stderr.write("> done\n")
     finally:
-        if summary:
-            summary.close()
+        if summary_fh:
+            summary_fh.close()
 
 
 def argparser():
@@ -61,7 +135,9 @@ def argparser():
     parser.add_argument("model_directory")
     parser.add_argument("reads_directory")
     parser.add_argument("--reference", default=None,
-                        help="reference for alignment (mappy/minimap2)")
+                        help="reference fasta for alignment")
+    parser.add_argument("--sam", action="store_true",
+                        help="emit SAM instead of FASTQ (needs --reference)")
     parser.add_argument("--read-ids", default=None,
                         help="file of read ids to include")
     parser.add_argument("--skip", action="store_true",
@@ -77,4 +153,10 @@ def argparser():
     parser.add_argument("--max-reads", default=0, type=int)
     parser.add_argument("--summary", default=None,
                         help="write per-read summary tsv here")
+    parser.add_argument("--save-ctc", default=None,
+                        help="directory to write ctc training data")
+    parser.add_argument("--ctc-min-coverage", default=0.90, type=float)
+    parser.add_argument("--ctc-min-accuracy", default=0.95, type=float)
+    parser.add_argument("--ub-only", action="store_true",
+                        help="keep only chunks whose reference contains a UB")
     return parser

@@ -183,3 +183,35 @@ def get_reads(directory: str, read_ids=None, skip: bool = False,
                 yield read
                 if cancel is not None and cancel.is_set():
                     return
+
+
+class ReadChunk:
+    """Fixed-window slice of a read for ctc-data building
+    (reference fast5.py:131-146)."""
+
+    def __init__(self, read: Read, chunk: np.ndarray, i: int, n: int):
+        self.read_id = "%s:%i:%i" % (read.read_id, i, n)
+        self.run_id = read.run_id
+        self.filename = read.filename
+        self.mux = read.mux
+        self.channel = read.channel
+        self.start = read.start
+        self.duration = read.duration
+        self.template_start = self.start
+        self.template_duration = self.duration
+        self.signal = chunk
+
+    def __repr__(self):
+        return "ReadChunk('%s')" % self.read_id
+
+
+def read_chunks(read, chunksize: int = 4000, overlap: int = 400):
+    """Split a Read into fixed ReadChunks (reference fast5.py:207-219)."""
+    if len(read.signal) < chunksize:
+        return
+    _, offset = divmod(len(read.signal) - chunksize, chunksize - overlap)
+    signal = read.signal[offset:]
+    n = (len(signal) - chunksize) // (chunksize - overlap) + 1
+    for i in range(n):
+        start = i * (chunksize - overlap)
+        yield ReadChunk(read, signal[start:start + chunksize], i + 1, n)

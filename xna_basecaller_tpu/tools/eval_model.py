@@ -1,0 +1,82 @@
+"""End-to-end model evaluation: basecall -> align -> UB analysis.
+
+Python orchestration of the reference shell pipeline (reference:
+eval_model.sh): basecall the eval reads (or reuse an existing FASTQ),
+align to the library's refdb_short templates (built-in SW aligner in place
+of the minimap2 binary), and run the UB analyzer producing the
+results_summ CSV family.  Steps are idempotent — existing outputs are
+reused (eval_model.sh:97,126,154).
+"""
+
+from __future__ import annotations
+
+import os
+
+from xna_basecaller_tpu.data.writers import read_fastq
+from xna_basecaller_tpu.eval.analyze import analyze_paf
+from xna_basecaller_tpu.eval.ref_align import (
+    align_fastq, read_paf, write_paf,
+)
+from xna_basecaller_tpu.eval.xna_refs import EXP_REF_MAP, XnaRefs
+
+# default demux gates per library (reference eval_model.sh:64-68)
+MAX_BC_DIST = {"POC": 5, "CPLX": 8}
+
+
+def eval_model(exp: str, basecalls_dir: str, split: str = "test",
+               reads_fastq: str | None = None, model_dir: str | None = None,
+               reads_dir: str | None = None, read_ids: str | None = None,
+               ubs: str = "XY", max_bc_dist: int | None = None,
+               weights: int | None = None, n_proc: int = 0,
+               log=print) -> dict:
+    """Run the evaluation chain for one experiment/split; returns the
+    summary dict and writes CSVs into ``basecalls_dir``."""
+    os.makedirs(basecalls_dir, exist_ok=True)
+    ref_name = EXP_REF_MAP.get(exp, exp)
+    refs = XnaRefs(ref_name)
+
+    # 1) basecalls (reference eval_model.sh:94-117)
+    fastq_path = reads_fastq or os.path.join(
+        basecalls_dir, f"reads-{exp}-{split}.fastq")
+    if not os.path.exists(fastq_path):
+        if model_dir is None or reads_dir is None:
+            raise FileNotFoundError(
+                f"{fastq_path} missing and no model/reads to produce it")
+        log(f"> basecalling {reads_dir} -> {fastq_path}")
+        from xna_basecaller_tpu.data.fast5 import get_reads
+        from xna_basecaller_tpu.infer.basecall import run_basecaller
+        from xna_basecaller_tpu.utils.model_io import load_model
+        model, params, cfg = load_model(model_dir, weights=weights)
+        ids = None
+        if read_ids:
+            with open(read_ids) as fh:
+                ids = {l.strip().split()[0] for l in fh if l.strip()}
+        reads = get_reads(reads_dir, read_ids=ids)
+        with open(fastq_path, "w") as fq:
+            run_basecaller(
+                model, params, reads, fq,
+                chunksize=cfg.basecaller.chunksize,
+                overlap=cfg.basecaller.overlap,
+                batchsize=cfg.basecaller.batchsize)
+    reads = read_fastq(fastq_path)
+    if not reads:
+        raise RuntimeError(f"no reads in {fastq_path}")
+
+    # 2) alignment (reference eval_model.sh:119-148)
+    paf_path = os.path.join(basecalls_dir, f"alignment-{exp}-{split}.paf")
+    if os.path.exists(paf_path) and os.path.getsize(paf_path):
+        records = read_paf(paf_path)
+        log(f"> reusing {paf_path} ({len(records)} alignments)")
+    else:
+        log(f"> aligning {len(reads)} reads to {ref_name} templates")
+        records = align_fastq(reads, refs.targets, n_proc=n_proc)
+        write_paf(records, paf_path)
+
+    # 3) analysis (reference eval_model.sh:150-177)
+    if max_bc_dist is None:
+        max_bc_dist = MAX_BC_DIST.get(ref_name, 5)
+    summary = analyze_paf(
+        exp, records, reads, max_bc_dist=max_bc_dist, ubs=ubs,
+        out_dir=basecalls_dir, out_prefix=f"results_summ-{exp}-{split}",
+        refs=refs, log=log)
+    return summary
