@@ -34,7 +34,15 @@ def sw_align(query: str, ref: str):
 
     cigar ops is a list of (op, count) with ops in '=XID' covering the local
     aligned region; bounds = (q_start, q_end, r_start, r_end) exclusive-end.
+    Backed by the native C++ kernel when available (same DP and
+    tie-breaking); this numpy version is the fallback/oracle.
     """
+    try:
+        from xna_basecaller_tpu.utils import native
+        if native.available():
+            return native.sw_align(query, ref)
+    except Exception:
+        pass
     q = _codes(query)
     r = _codes(ref)
     nq, nr = len(q), len(r)

@@ -112,13 +112,23 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
 
     uploads = thread_iter(gen_uploads())
 
-    def gen_scores():
+    def gen_compute():
+        # dispatch-only stage: the device arrays are NOT synced here, so
+        # the accelerator pipelines batch k+1 while batch k's results
+        # drain device->host in the fetch stage below
         for keys, n, dev in uploads:
-            out = compute_scores(model, params, dev, reverse=reverse,
-                                 compute_dtype=compute_dtype)
-            yield keys, {k: v[:n] for k, v in out.items()}
+            sc = model.apply(params, dev, compute_dtype=compute_dtype)
+            paths = _score_and_decode(
+                sc, model.seqdist.n_base, model.seqdist.state_len, reverse)
+            yield keys, n, paths
 
-    scores = thread_iter(gen_scores())
+    computed = thread_iter(gen_compute())
+
+    def gen_fetch():
+        for keys, n, paths in computed:
+            yield keys, {"path": np.asarray(paths)[:n]}
+
+    scores = thread_iter(gen_fetch())
 
     def gen_results():
         for (read, start, end), attrs in chunkops.unbatchify(scores):

@@ -52,6 +52,12 @@ def dtw_band_align(query: np.ndarray, ref: np.ndarray,
     T, R = len(query), len(ref)
     if T < R:
         return None
+    try:
+        from xna_basecaller_tpu.utils import native
+        if native.available():
+            return native.dtw_band(query, ref, band)
+    except Exception:
+        pass
     d = np.abs(query[:, None].astype(np.float32)
                - ref[None, :].astype(np.float32))
     if band is not None:

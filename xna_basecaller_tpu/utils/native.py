@@ -1,0 +1,119 @@
+"""ctypes bindings for the native (C++) host-side kernels.
+
+The shared library (native/xna_native.cpp) replaces the reference's external
+native deps — parasail SW, C Levenshtein, dtw-python core (SURVEY §2.3).
+It is built on demand with g++ and cached next to the package; every caller
+has a pure-python/numpy fallback, so a missing toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "xna_native.cpp")
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_xna_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.levenshtein.restype = ctypes.c_int
+        lib.levenshtein.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.sw_align.restype = ctypes.c_int
+        lib.sw_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.dtw_band.restype = ctypes.c_int
+        lib.dtw_band.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_float,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def levenshtein(a: str, b: str) -> int:
+    lib = _load()
+    ab, bb = a.encode(), b.encode()
+    return lib.levenshtein(ab, len(ab), bb, len(bb))
+
+
+def sw_align(query: str, ref: str):
+    """Native SW; returns (score, cigar [(op, n)], (q0, q1, r0, r1))."""
+    lib = _load()
+    qb, rb = query.encode(), ref.encode()
+    bounds = (ctypes.c_int * 4)()
+    ops_buf = ctypes.create_string_buffer(len(qb) + len(rb) + 1)
+    ops_len = ctypes.c_int(0)
+    score = lib.sw_align(qb, len(qb), rb, len(rb), bounds, ops_buf,
+                         ctypes.byref(ops_len))
+    if score == 0:
+        return 0, [], (0, 0, 0, 0)
+    ops = ops_buf.raw[: ops_len.value].decode()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([op, 1])
+    return score, [(o, c) for o, c in cigar], tuple(bounds)
+
+
+def dtw_band(query: np.ndarray, ref: np.ndarray,
+             band: float | None = None):
+    """Native DTW; returns per-query ref indices or None if infeasible."""
+    lib = _load()
+    q = np.ascontiguousarray(query, np.float32)
+    r = np.ascontiguousarray(ref, np.float32)
+    out = np.empty(len(q), np.int32)
+    rc = lib.dtw_band(q, len(q), r, len(r),
+                      np.float32(band if band else 0.0), out)
+    if rc != 0:
+        return None
+    return out
