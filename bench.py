@@ -51,7 +51,7 @@ def main():
     print(f"[bench] compile+warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    reads = list(simulate_reads(24, mean_len=120_000, seed=7))
+    reads = list(simulate_reads(48, mean_len=120_000, seed=7))
     total_samples = sum(len(r.signal) for r in reads)
     print(f"[bench] {len(reads)} reads, {total_samples:,} samples",
           file=sys.stderr)

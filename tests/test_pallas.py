@@ -1,0 +1,75 @@
+"""Pallas kernels vs pure-JAX oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.ops import crf, crf_pallas
+from xna_basecaller_tpu.ops.lstm import init_lstm_params, lstm_forward
+
+
+@pytest.mark.parametrize("n_base,state_len", [(4, 2), (6, 3)])
+def test_forward_scan_pallas_matches(n_base, state_len):
+    T, N = 12, 4
+    C = (n_base + 1) * n_base ** state_len
+    s = jax.random.normal(jax.random.key(0), (T, N, C), jnp.float32)
+    a_pal, logz = crf_pallas.forward_scan_pallas(
+        s, n_base, state_len, interpret=True)
+    a_ref = crf.forward_scores(s, n_base, state_len)[:-1]
+    np.testing.assert_allclose(
+        np.asarray(a_pal), np.asarray(jnp.transpose(a_ref, (0, 2, 1))),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(logz), np.asarray(crf.logz_fwd(s, n_base, state_len)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_backward_scan_pallas_matches():
+    n_base, state_len, T, N = 6, 3, 10, 2
+    C = (n_base + 1) * n_base ** state_len
+    s = jax.random.normal(jax.random.key(1), (T, N, C), jnp.float32)
+    b_pal = crf_pallas.backward_scan_pallas(
+        s, n_base, state_len, interpret=True)
+    b_ref = crf.backward_scores(s, n_base, state_len)[1:]
+    np.testing.assert_allclose(
+        np.asarray(b_pal), np.asarray(jnp.transpose(b_ref, (0, 2, 1))),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_decode_paths_pallas_matches():
+    n_base, state_len, T, N = 6, 3, 16, 3
+    C = (n_base + 1) * n_base ** state_len
+    s = jax.random.normal(jax.random.key(2), (T, N, C), jnp.float32)
+    p_pal = crf_pallas.decode_paths_pallas(
+        s, n_base, state_len, interpret=True)
+    p_ref = crf.decode_paths(s, n_base, state_len)
+    np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_ref))
+
+
+def test_lstm_pallas_matches_scan_interpret():
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    # patch the kernel call into interpret mode for CPU execution
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        p = init_lstm_params(jax.random.key(0), 128, 128)
+        x = jax.random.normal(jax.random.key(1), (8, 4, 128), jnp.float32)
+        y_pal = lstm_pallas.lstm_forward_pallas(p, x)
+        y_ref = lstm_forward(p, x)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        # reverse direction too
+        y_pal_r = lstm_pallas.lstm_forward_pallas(p, x, reverse=True)
+        y_ref_r = lstm_forward(p, x, reverse=True)
+        np.testing.assert_allclose(np.asarray(y_pal_r), np.asarray(y_ref_r),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        pl.pallas_call = orig

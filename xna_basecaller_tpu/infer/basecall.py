@@ -45,7 +45,12 @@ def _score_and_decode(scores, n_base: int, state_len: int,
     """
     if reverse:
         scores = crf_ops.reverse_complement(scores, n_base, state_len)
-    paths = crf_ops.decode_paths(scores, n_base, state_len)
+    from xna_basecaller_tpu.utils.platform import is_tpu
+    if is_tpu():
+        from xna_basecaller_tpu.ops.crf_pallas import decode_paths_pallas
+        paths = decode_paths_pallas(scores, n_base, state_len)
+    else:
+        paths = crf_ops.decode_paths(scores, n_base, state_len)
     return paths.astype(jnp.int8)
 
 

@@ -108,7 +108,14 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16):
         cfg.encoder.activation)
     x = jnp.transpose(x, (1, 0, 2)).astype(compute_dtype)  # -> [T,N,C]
     params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
-    x = lstm_stack_forward(params["rnn"], rnn_directions(cfg), x)
+    from xna_basecaller_tpu.utils.platform import is_tpu
+    if is_tpu():
+        from xna_basecaller_tpu.ops.lstm_pallas import (
+            lstm_stack_forward_pallas,
+        )
+        x = lstm_stack_forward_pallas(params["rnn"], rnn_directions(cfg), x)
+    else:
+        x = lstm_stack_forward(params["rnn"], rnn_directions(cfg), x)
     scores = crf_head_forward(params, x, cfg)
     return scores.astype(jnp.float32)
 
