@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Standalone eval pipeline (reference eval_model.sh): basecall -> align ->
 UB analysis for one model/split."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 from xna_basecaller_tpu.tools.eval_model import eval_model

@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Per-epoch validation sweep + best-epoch selection (reference
 run_ub_validation.sh)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 from xna_basecaller_tpu.tools.train_and_eval import run_ub_validation

@@ -7,6 +7,10 @@
       --val-reads data/reads --val-ids xna_libs/POC/split_reads-val.tsv \
       --test-reads data/reads --test-ids xna_libs/POC/split_reads-test.tsv
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 from xna_basecaller_tpu.tools.train_and_eval import train_and_eval

@@ -159,3 +159,40 @@ def test_make_stitch_augment_closure(xna_dir, dna_batch):
     c, t = aug(chunks, refs, lens, bkps, rng)
     assert (t > 4).sum() > 0
     assert set(np.unique(t[t > 4])) == {5}
+
+
+def test_kmer_weight_table_and_position_weights(tmp_path):
+    """Weighted insert picking: rare k-mer contexts get higher weight."""
+    import jax.numpy as jnp
+    from xna_basecaller_tpu.augment.stitch import (
+        count_kmers, load_kmer_weight_table, position_weights,
+    )
+    from xna_basecaller_tpu.data.ctc_data import save_ctc_data
+
+    rng = np.random.default_rng(0)
+    n, L = 30, 60
+    refs = np.zeros((n, L), np.uint8)
+    # common pattern everywhere, one rare pattern in a single read
+    refs[:] = np.tile(np.array([1, 2, 3, 4, 2, 3], np.uint8), L // 6 + 1)[:L]
+    refs[0, 20:32] = np.array([4, 4, 1, 1, 3, 3] * 2, np.uint8)
+    lens = np.full(n, L, np.uint16)
+    chunks = np.zeros((n, 100), np.float16)
+    save_ctc_data(str(tmp_path), chunks, refs, lens)
+
+    counts = count_kmers(str(tmp_path))
+    assert (tmp_path / "kmer_count-len_6.csv").exists()
+    assert counts.sum() > 0
+
+    table = load_kmer_weight_table(str(tmp_path))
+    assert table.shape == (6, 1024)
+    assert (table >= 0).all()
+
+    w = np.asarray(position_weights(
+        jnp.asarray(refs[0], jnp.int32), jnp.int32(L), jnp.asarray(table)))
+    assert w.shape == (L,)
+    # edges zeroed
+    assert np.all(w[:5] == 0) and np.all(w[-5:] == 0)
+    # the rare-context region outweighs the common one
+    common = w[40:50].max()
+    rare = w[23:29].max()
+    assert rare > common, (rare, common)

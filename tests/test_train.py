@@ -148,3 +148,28 @@ def test_sw_align_xy_bases():
     """X/Y score as first-class bases."""
     assert accuracy("ACGXACGT", "ACGXACGT") == 100.0
     assert accuracy("ACGXACGT", "ACGYACGT") == pytest.approx(100 * 7 / 8)
+
+
+def test_grad_accum_matches_full_batch(tmp_path):
+    """grad_accum_split=2 gives (numerically close) results to split=1."""
+    import jax.numpy as jnp
+    from xna_basecaller_tpu.train.loop import make_optimizer, train_step
+    model = tiny_model()
+    train, _ = make_datasets(n=8)
+    c, t, l = next(train.batches(8))
+    params = model.init(jax.random.key(0))
+    opt = make_optimizer(lambda _: 1e-3)
+
+    def run(split):
+        p = jax.tree.map(jnp.array, params)
+        st = opt.init(p)
+        p2, _, loss, gn = train_step(p, st, c, t, l, model.cfg, opt,
+                                     jnp.float32, split)
+        return p2, float(loss), float(gn)
+
+    p1, loss1, gn1 = run(1)
+    p2, loss2, gn2 = run(2)
+    assert loss1 == pytest.approx(loss2, rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -144,9 +144,11 @@ def spike_batch(key, chunks, targets, lengths, breakpoints,
     return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
 
 
-def _choose_positions(key, length, n_pos, max_spikes, pad, ubs_pos_mask, L):
+def _choose_positions(key, length, n_pos, max_spikes, pad, ubs_pos_mask, L,
+                      weights=None):
     """Masked iterative sampling of spike positions (reference
-    choose_positions, spike_chunks.py:194-215)."""
+    choose_positions, spike_chunks.py:194-215; with ``weights`` the
+    k-mer-frequency-weighted variant, stitch_chunks.py:46-102)."""
     pos_idx = jnp.arange(L)
     valid = (pos_idx >= 10) & (pos_idx < length - 10)
     valid = valid & ~ubs_pos_mask
@@ -154,10 +156,11 @@ def _choose_positions(key, length, n_pos, max_spikes, pad, ubs_pos_mask, L):
     def body(i, carry):
         valid, picks, key = carry
         key, sub = jax.random.split(key)
-        # weighted choice over valid positions (uniform among valid)
         w = valid.astype(jnp.float32)
+        if weights is not None:
+            w = w * weights
         any_valid = w.sum() > 0
-        p = jnp.where(any_valid, w / jnp.maximum(w.sum(), 1.0),
+        p = jnp.where(any_valid, w / jnp.maximum(w.sum(), 1e-30),
                       jnp.full((L,), 1.0 / L))
         pick = jax.random.choice(sub, L, p=p)
         active = (i < n_pos) & any_valid

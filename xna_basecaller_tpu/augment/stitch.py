@@ -157,9 +157,13 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
                  prop_ubs: float = 0.10, max_stitches: int = 64,
                  pad: int = 5, cand_sample_size: int = 5,
                  ub_codes: tuple = (5, 6), noise_std: float = 0.0,
-                 noise_mode: str = "single"):
+                 noise_mode: str = "single", weight_table=None):
     """Vectorised per_kmer stitch over a batch; returns
-    (chunks', targets', success [B] bool)."""
+    (chunks', targets', success [B] bool).
+
+    ``weight_table`` [6, 1024] enables k-mer-frequency-weighted insert
+    position picking (reference weighted_pos_pick, stitch_chunks.py:46).
+    """
     B, T = chunks.shape
     keys = jax.random.split(key, B)
 
@@ -167,14 +171,14 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
         return _stitch_one(k, c, t, l, b, tbl_signals, tbl_lens, tbl_counts,
                            prop_ubs, max_stitches, pad, cand_sample_size,
                            ub_codes, noise_std, noise_mode, T,
-                           targets.shape[1])
+                           targets.shape[1], weight_table)
 
     return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
 
 
 def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
                 tbl_counts, prop_ubs, max_stitches, pad, cand_sample_size,
-                ub_codes, noise_std, noise_mode, T, L):
+                ub_codes, noise_std, noise_mode, T, L, weight_table=None):
     from xna_basecaller_tpu.augment.spike import _choose_positions
 
     k_pos, k_ub, k_cand, k_noise = jax.random.split(key, 4)
@@ -192,8 +196,10 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
     n_pos = jnp.maximum(
         jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
     n_pos = jnp.minimum(n_pos, max_stitches)
+    pos_w = (position_weights(target, length, weight_table)
+             if weight_table is not None else None)
     picks = _choose_positions(k_pos, length, n_pos, max_stitches, pad,
-                              ub_window, L)
+                              ub_window, L, weights=pos_w)
     picked = picks >= 0
     safe_picks = jnp.clip(picks, 0, L - 1)
 
@@ -307,7 +313,9 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
                         prop_ubs: float = 0.10, cand_sample_size: int = 5,
                         cap: int = 32, noise_std: float = 0.0,
                         noise_mode: str = "single",
-                        tables: StitchTables | None = None):
+                        tables: StitchTables | None = None,
+                        weighted_pos_pick: bool = False,
+                        weights_dir: str | None = None):
     """Build a ChunkDataset-compatible augment closure (stitch then done).
 
     Pass a precomputed ``tables`` to skip the ctc-data scan (e.g. in
@@ -320,6 +328,10 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
     lens = jnp.asarray(tables.lens)
     counts = jnp.asarray(tables.counts)
     ub_codes = _UB_CODE_MAP[ubs]
+    weight_table = None
+    if weighted_pos_pick:
+        weight_table = jnp.asarray(load_kmer_weight_table(
+            weights_dir or xna_ctc_dir))
 
     def augment(chunks, targets, lengths, breakpoints, rng):
         seed = int(rng.integers(0, 2 ** 31 - 1))
@@ -330,7 +342,112 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
             jnp.asarray(breakpoints, jnp.int32),
             sig, lens, counts,
             prop_ubs=prop_ubs, cand_sample_size=cand_sample_size,
-            ub_codes=ub_codes, noise_std=noise_std, noise_mode=noise_mode)
+            ub_codes=ub_codes, noise_std=noise_std, noise_mode=noise_mode,
+            weight_table=weight_table)
         return np.asarray(c), np.asarray(t)
 
     return augment
+
+
+# ---------------------------------------------------------------------------
+# k-mer-frequency-weighted insert position picking
+# (reference load_kmers_weight + choose_positions_weighted,
+#  stitch_chunks.py:26-102)
+
+def count_kmers(ctc_dir: str, kmer_len: int = KMER_LEN,
+                out_csv: bool = True):
+    """Count natural 6-mers in a ctc-data directory's references and write
+    ``kmer_count-len_6.csv`` (the artifact the reference expects,
+    SURVEY §2.5).  Returns {kmer_code(base-4): count}."""
+    import os
+    _, targets, lengths = load_numpy_datasets(ctc_dir)[:3]
+    counts = np.zeros(4 ** kmer_len, np.int64)
+    pows = 4 ** np.arange(kmer_len - 1, -1, -1)
+    for i in range(len(lengths)):
+        t = np.asarray(targets[i, : int(lengths[i])], np.int64)
+        valid = (t >= 1) & (t <= 4)
+        z = t - 1
+        for s in range(len(t) - kmer_len + 1):
+            win = slice(s, s + kmer_len)
+            if valid[win].all():
+                counts[int((z[win] * pows).sum())] += 1
+    if out_csv:
+        from xna_basecaller_tpu.core.alphabet import BASES
+        path = os.path.join(ctc_dir, f"kmer_count-len_{kmer_len}.csv")
+        with open(path, "w") as fh:
+            fh.write("kmer,cnt\n")
+            for code in np.nonzero(counts)[0]:
+                kmer = ""
+                c = int(code)
+                for _ in range(kmer_len):
+                    kmer = BASES[1 + c % 4] + kmer
+                    c //= 4
+                fh.write(f"{kmer},{counts[code]}\n")
+    return counts
+
+
+def load_kmer_weight_table(ctc_dir: str,
+                           kmer_len: int = KMER_LEN) -> np.ndarray:
+    """Balanced N-kmer weights as a dense [kmer_len, 4**(kmer_len-1)] table.
+
+    Mirrors reference load_kmers_weight (stitch_chunks.py:26-44): each
+    6-mer contributes its count to the 6 N-substituted variants; weight =
+    (total / (n_groups * group_count)) ** 2.  Index: (N position within
+    the k-mer, base-4 code of the 5 natural bases in order).
+    """
+    import os
+    path = os.path.join(ctc_dir, f"kmer_count-len_{kmer_len}.csv")
+    if not os.path.exists(path):
+        count_kmers(ctc_dir, kmer_len)
+    n_ctx = 4 ** (kmer_len - 1)
+    sums = np.zeros((kmer_len, n_ctx), np.float64)
+    from xna_basecaller_tpu.core.alphabet import CODE
+    with open(path) as fh:
+        header = fh.readline()
+        for line in fh:
+            kmer, cnt = line.strip().split(",")
+            cnt = float(cnt)
+            codes = [CODE[c] - 1 for c in kmer]
+            for p in range(kmer_len):
+                ctx = 0
+                for q, b in enumerate(codes):
+                    if q == p:
+                        continue
+                    ctx = ctx * 4 + b
+                sums[p, ctx] += cnt
+    n_groups = (sums > 0).sum()
+    total = sums.sum() / kmer_len  # each kmer counted once per N position
+    with np.errstate(divide="ignore"):
+        w = np.where(sums > 0, total * kmer_len / (n_groups * sums), 0.0)
+    return (w ** 2).astype(np.float32)
+
+
+def position_weights(target, length, weight_table, kmer_len: int = KMER_LEN):
+    """Per-position insert weights [L]: geometric mean of the 6 N-kmer
+    weights covering each position (stitch_chunks.py:53-73); 0 at edges
+    and where any covering k-mer leaves the natural alphabet."""
+    L = target.shape[0]
+    zt = jnp.clip(target - 1, 0, 5)
+    natural = (target >= 1) & (target <= 4)
+    pos_idx = jnp.arange(L)
+
+    log_w_sum = jnp.zeros(L)
+    ok = jnp.ones(L, bool)
+    for kmer_idx in range(kmer_len):
+        # k-mer covering pos with N at kmer_ub_pos = kmer_len-1-kmer_idx
+        kup = kmer_len - 1 - kmer_idx
+        ctx = jnp.zeros(L, jnp.int32)
+        good = jnp.ones(L, bool)
+        for j in range(kmer_len):
+            if j == kup:
+                continue
+            p = pos_idx - kup + j
+            pc = jnp.clip(p, 0, L - 1)
+            ctx = ctx * 4 + jnp.clip(zt[pc], 0, 3)
+            good = good & natural[pc] & (p >= 0) & (p < length)
+        w = weight_table[kup][ctx]
+        ok = ok & good & (w > 0)
+        log_w_sum = log_w_sum + jnp.log(jnp.maximum(w, 1e-30))
+    weights = jnp.exp(log_w_sum / kmer_len)
+    in_range = (pos_idx >= kmer_len - 1) & (pos_idx < length - kmer_len + 1)
+    return jnp.where(ok & in_range, weights, 0.0)

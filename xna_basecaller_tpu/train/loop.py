@@ -47,23 +47,51 @@ def make_optimizer(lr_schedule, weight_decay: float = 1e-2):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "optimizer", "compute_dtype"),
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "compute_dtype",
+                                   "grad_accum_split"),
          donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, chunks, targets, lengths,
-               cfg, optimizer, compute_dtype=jnp.bfloat16):
-    """One optimisation step; returns (params, opt_state, loss, grad_norm)."""
+               cfg, optimizer, compute_dtype=jnp.bfloat16,
+               grad_accum_split: int = 1):
+    """One optimisation step; returns (params, opt_state, loss, grad_norm).
 
-    def loss_fn(p):
-        scores = crf_model.forward(p, chunks, cfg, compute_dtype)
+    ``grad_accum_split`` > 1 runs the batch as micro-batches with summed
+    gradients and a single update (reference training.py:91-110).
+    """
+
+    def loss_fn(p, c, t, l):
+        scores = crf_model.forward(p, c, cfg, compute_dtype)
         # Masked mean: rows padded for mesh divisibility have length 0 and
         # must not contribute (their 1/length loss normaliser is singular).
         per_sample = crf_model.Model(cfg).seqdist.ctc_loss(
-            scores.astype(jnp.float32), targets,
-            jnp.maximum(lengths, cfg.state_len + 1), reduction="none")
-        valid = (lengths > 0).astype(jnp.float32)
+            scores.astype(jnp.float32), t,
+            jnp.maximum(l, cfg.state_len + 1), reduction="none")
+        valid = (l > 0).astype(jnp.float32)
         return jnp.sum(per_sample * valid) / jnp.maximum(valid.sum(), 1.0)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    if grad_accum_split <= 1:
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, chunks, targets, lengths)
+    else:
+        k = grad_accum_split
+        B = chunks.shape[0]
+        mb = B // k
+        cs = chunks[: k * mb].reshape(k, mb, *chunks.shape[1:])
+        ts = targets[: k * mb].reshape(k, mb, *targets.shape[1:])
+        ls = lengths[: k * mb].reshape(k, mb)
+
+        def body(carry, xs):
+            loss_acc, grads_acc = carry
+            c, t, l = xs
+            loss_i, grads_i = jax.value_and_grad(loss_fn)(params, c, t, l)
+            return (loss_acc + loss_i / k,
+                    jax.tree.map(lambda a, b: a + b / k, grads_acc,
+                                 grads_i)), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        (loss, grads), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zero_grads), (cs, ts, ls))
+
     grad_norm = optax.global_norm(grads)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -181,7 +209,8 @@ class Trainer:
                     c, t, l = self._shard(batch)
                     params, opt_state, loss, grad_norm = train_step(
                         params, opt_state, c, t, l, self.model.cfg,
-                        optimizer, self.compute_dtype)
+                        optimizer, self.compute_dtype,
+                        self.grad_accum_split)
                     loss = float(loss)
                     chunks_seen += batch[0].shape[0]
                     smoothed = loss if smoothed is None else (
