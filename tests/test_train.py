@@ -173,3 +173,23 @@ def test_grad_accum_matches_full_batch(tmp_path):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_dropout_active_in_training_only():
+    """With drop rates set, a dropout_rng changes the forward; inference
+    (no rng) is deterministic."""
+    import jax.numpy as jnp
+    from xna_basecaller_tpu.models import crf_model
+    cfg = ModelConfig(encoder=EncoderConfig(
+        features=32, num_rnn_layers=2, winlen=9,
+        drop_rate=0.5, drop_rate_bottom=0.05))
+    params = crf_model.init_params(jax.random.key(0), cfg)
+    sig = np.random.default_rng(0).normal(size=(2, 300)).astype(np.float32)
+    s1 = crf_model.forward(params, sig, cfg, jnp.float32,
+                           dropout_rng=jax.random.key(1))
+    s2 = crf_model.forward(params, sig, cfg, jnp.float32,
+                           dropout_rng=jax.random.key(2))
+    s3 = crf_model.forward(params, sig, cfg, jnp.float32)
+    s4 = crf_model.forward(params, sig, cfg, jnp.float32)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(s4))

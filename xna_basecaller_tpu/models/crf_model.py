@@ -94,28 +94,54 @@ def crf_head_forward(params, x, cfg: ModelConfig):
     return scores
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
-def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "inference"))
+def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
+            inference: bool = False, dropout_rng=None):
     """Full encoder forward: raw signal [N, T_sig] (or [N, T_sig, 1]) ->
-    CRF scores [T, N, n_score] in float32."""
+    CRF scores [T, N, n_score] in float32.
+
+    ``inference=True`` enables the Pallas fused LSTM kernel on TPU (it has
+    no autodiff rule; training uses the differentiable scan).
+    ``dropout_rng`` activates training dropout: drop_rate before the CRF
+    head (reference nn.py:105,116) and drop_rate_bottom after each
+    conv/LSTM layer (reference crf/model.py:183-200).
+    """
+    enc = cfg.encoder
     if signal.ndim == 2:
         signal = signal[..., None]
+
+    def dropout(x, rate, key):
+        if dropout_rng is None or rate <= 0:
+            return x
+        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+    keys = (jax.random.split(dropout_rng, enc.num_rnn_layers + 4)
+            if dropout_rng is not None else [None] * (enc.num_rnn_layers + 4))
+
     # Conv stack in float32: <1% of model FLOPs (the LSTMs dominate), and
     # XLA's conv transpose rule requires uniform dtypes.
     x = conv_stack_forward(
         jax.tree.map(lambda p: p.astype(jnp.float32), params["conv"]),
         signal.astype(jnp.float32), cfg.encoder.stride,
         cfg.encoder.activation)
+    x = dropout(x, enc.drop_rate_bottom, keys[0])
     x = jnp.transpose(x, (1, 0, 2)).astype(compute_dtype)  # -> [T,N,C]
     params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     from xna_basecaller_tpu.utils.platform import is_tpu
-    if is_tpu():
+    if inference and is_tpu():
         from xna_basecaller_tpu.ops.lstm_pallas import (
             lstm_stack_forward_pallas,
         )
         x = lstm_stack_forward_pallas(params["rnn"], rnn_directions(cfg), x)
     else:
-        x = lstm_stack_forward(params["rnn"], rnn_directions(cfg), x)
+        dirs = rnn_directions(cfg)
+        from xna_basecaller_tpu.ops.lstm import lstm_forward
+        for i, (layer, rev) in enumerate(zip(params["rnn"], dirs)):
+            x = lstm_forward(layer, x, reverse=rev)
+            if i < len(dirs) - 1:  # last layer's dropout sits in the head
+                x = dropout(x, enc.drop_rate_bottom, keys[1 + i])
+    x = dropout(x, enc.drop_rate, keys[-1])
     scores = crf_head_forward(params, x, cfg)
     return scores.astype(jnp.float32)
 
@@ -143,8 +169,10 @@ class Model:
     def init(self, key, dtype=jnp.float32):
         return init_params(key, self.cfg, dtype)
 
-    def apply(self, params, signal, compute_dtype=jnp.bfloat16):
-        return forward(params, signal, self.cfg, compute_dtype)
+    def apply(self, params, signal, compute_dtype=jnp.bfloat16,
+              inference: bool = True):
+        return forward(params, signal, self.cfg, compute_dtype,
+                       inference=inference)
 
     def decode_batch(self, scores) -> list[str]:
         return self.seqdist.decode_batch(scores)

@@ -52,15 +52,20 @@ def make_optimizer(lr_schedule, weight_decay: float = 1e-2):
          donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, chunks, targets, lengths,
                cfg, optimizer, compute_dtype=jnp.bfloat16,
-               grad_accum_split: int = 1):
+               grad_accum_split: int = 1, dropout_rng=None):
     """One optimisation step; returns (params, opt_state, loss, grad_norm).
 
     ``grad_accum_split`` > 1 runs the batch as micro-batches with summed
     gradients and a single update (reference training.py:91-110).
     """
 
+    use_dropout = (cfg.encoder.drop_rate > 0
+                   or cfg.encoder.drop_rate_bottom > 0)
+
     def loss_fn(p, c, t, l):
-        scores = crf_model.forward(p, c, cfg, compute_dtype)
+        scores = crf_model.forward(
+            p, c, cfg, compute_dtype,
+            dropout_rng=dropout_rng if use_dropout else None)
         # Masked mean: rows padded for mesh divisibility have length 0 and
         # must not contribute (their 1/length loss normaliser is singular).
         per_sample = crf_model.Model(cfg).seqdist.ctc_loss(
@@ -100,7 +105,8 @@ def train_step(params, opt_state, chunks, targets, lengths,
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def eval_scores(params, chunks, cfg, compute_dtype=jnp.bfloat16):
-    return crf_model.forward(params, chunks, cfg, compute_dtype)
+    return crf_model.forward(params, chunks, cfg, compute_dtype,
+                             inference=True)
 
 
 class CSVLogger:
@@ -210,7 +216,8 @@ class Trainer:
                     params, opt_state, loss, grad_norm = train_step(
                         params, opt_state, c, t, l, self.model.cfg,
                         optimizer, self.compute_dtype,
-                        self.grad_accum_split)
+                        self.grad_accum_split,
+                        jax.random.fold_in(jax.random.key(self.seed), step))
                     loss = float(loss)
                     chunks_seen += batch[0].shape[0]
                     smoothed = loss if smoothed is None else (

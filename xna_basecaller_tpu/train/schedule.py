@@ -64,3 +64,49 @@ def linear_warmup_cosine_decay(lr: float, total_steps: int,
         return lr * jnp.where(t <= tw, warm, cos)
 
     return schedule
+
+
+def linear_warmup_const_inverse_sqrt_decay(
+        lr: float, total_steps: int, steps_per_epoch: int, epochs: int,
+        warmup_steps: int = 1000, decay_start_epoch: int = 10,
+        decay_scale: float = 1.0, linear_cooldown_n_epochs: int = 0,
+        linear_cooldown_end_ratio: float = 0.0, start_step: int = 0):
+    """Warmup -> const -> inverse-sqrt decay -> optional linear cooldown
+    (reference schedule.py:20-55), jnp-traceable."""
+    import jax.numpy as jnp
+
+    total = max(total_steps, 1)
+    t_w = warmup_steps / total
+    t_d = decay_start_epoch / max(epochs, 1)
+    t_c = (epochs - linear_cooldown_n_epochs) / max(epochs, 1)
+    n_decay = max(epochs - decay_start_epoch - linear_cooldown_n_epochs, 0)
+    scale = decay_scale * n_decay
+    decay_end = 1.0 / math.sqrt(1 + scale)
+
+    def schedule(step):
+        t = jnp.minimum((step + start_step) / total, 1.0)
+        warm = t / max(t_w, 1e-9)
+        dec_t = jnp.clip((t - t_d) / max(t_c - t_d, 1e-9), 0.0, 1.0)
+        dec = 1.0 / jnp.sqrt(1 + scale * dec_t)
+        cool_t = jnp.clip((t - t_c) / max(1.0 - t_c, 1e-9), 0.0, 1.0)
+        cool = decay_end + (linear_cooldown_end_ratio - decay_end) * cool_t
+        val = jnp.where(t <= t_w, warm,
+                        jnp.where(t <= t_d, 1.0,
+                                  jnp.where(t <= t_c, dec, cool)))
+        return lr * val
+
+    return schedule
+
+
+def linear_cooldown_schedule(lr: float, total_steps: int,
+                             end_ratio: float = 0.0, start_step: int = 0):
+    """Plain linear cooldown (reference schedule.py:58-67)."""
+    import jax.numpy as jnp
+
+    total = max(total_steps, 1)
+
+    def schedule(step):
+        t = jnp.minimum((step + start_step) / total, 1.0)
+        return lr * (1.0 + (end_ratio - 1.0) * t)
+
+    return schedule
