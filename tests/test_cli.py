@@ -96,3 +96,34 @@ def test_cli_version(capsys):
     with pytest.raises(SystemExit):
         cli_main(["--version"])
     assert "xnacall" in capsys.readouterr().out
+
+
+def test_cli_convert_chunkify(tmp_path):
+    """convert: Taiyaki-chunkify-style HDF5 -> ctc-data npy."""
+    import h5py
+    h5path = tmp_path / "chunkify.hdf5"
+    rng = np.random.default_rng(0)
+    with h5py.File(h5path, "w") as fh:
+        reads = fh.create_group("Reads")
+        for i in range(3):
+            g = reads.create_group(f"read_{i}")
+            n_bases = 300
+            ref = rng.integers(0, 4, size=n_bases)
+            r2s = np.sort(rng.integers(0, 2400, size=n_bases)).astype(int)
+            g.create_dataset("Dacs", data=rng.integers(
+                0, 2000, size=2400).astype(np.int16))
+            g.create_dataset("Reference", data=ref)
+            g.create_dataset("Ref_to_signal", data=r2s)
+            g.attrs["offset"] = 0.0
+            g.attrs["range"] = 1400.0
+            g.attrs["digitisation"] = 8192.0
+            g.attrs["shift_frompA"] = 90.0
+            g.attrs["scale_frompA"] = 10.0
+    out = tmp_path / "ctc"
+    cli_main(["convert", str(h5path), str(out), "--chunksize", "800"])
+    chunks = np.load(out / "chunks.npy")
+    refs = np.load(out / "references.npy")
+    lens = np.load(out / "reference_lengths.npy")
+    assert chunks.shape[1] == 800 and chunks.dtype == np.float16
+    assert len(chunks) == len(refs) == len(lens) > 0
+    assert refs.max() <= 4 and refs.min() >= 0

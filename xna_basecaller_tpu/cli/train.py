@@ -68,6 +68,12 @@ def main(args):
         model = Model(cfg)
         params0 = None
 
+    if len(cfg.labels) == 6:
+        # 5-letter model (single UB letter): remap Y->X in targets
+        # (reference data.py:81-82)
+        train_data.replace_6_letter = True
+        valid_data.replace_6_letter = True
+
     config_lib.save(cfg, os.path.join(workdir, "config.toml"))
     with open(os.path.join(workdir, "argv.txt"), "w") as fh:
         fh.write(" ".join(sys.argv) + "\n")
