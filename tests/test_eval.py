@@ -212,3 +212,41 @@ def test_analyze_paf_demux_rejects_wrong_barcode(poc):
     summary = analyze_paf("POC", records, reads, max_bc_dist=5,
                           log=lambda *a: None)
     assert summary["num_aligned_reads"] == 1
+
+
+def test_seed_index_matches_full_scan(poc):
+    """Seeded candidate alignment agrees with the exhaustive scan."""
+    from xna_basecaller_tpu.eval.ref_align import SeedIndex
+    idx = SeedIndex(poc.targets)
+    rng = np.random.default_rng(3)
+    for tid in ["XNA01", "XNA05", "PC03"]:
+        tar = poc.targets[tid].replace("N", "X")
+        # mutate a few bases to make it realistic
+        seq = list(tar)
+        for p in rng.integers(30, len(seq) - 30, size=3):
+            seq[p] = "ACGT"[rng.integers(4)]
+        seq = "".join(seq)
+        for read in (seq, reverse_complement_str(seq)):
+            full = align_read("r", read, poc.targets)
+            seeded = align_read("r", read, poc.targets, seed_index=idx)
+            assert seeded is not None
+            assert (seeded.target_id, seeded.strand) == \
+                (full.target_id, full.strand)
+            assert seeded.n_matches == full.n_matches
+
+
+def test_cplx_seeded_alignment_speed():
+    """CPLX (1024 templates) alignment is tractable with seeding."""
+    import time
+    from xna_basecaller_tpu.eval.ref_align import SeedIndex
+    cplx = XnaRefs("CPLX")
+    idx = SeedIndex(cplx.targets)
+    tids = list(cplx.targets)[:8]
+    t0 = time.perf_counter()
+    for tid in tids:
+        read = cplx.targets[tid].replace("N", "X")
+        rec = align_read("r", read, cplx.targets, seed_index=idx)
+        assert rec is not None and rec.target_id == tid
+    per_read = (time.perf_counter() - t0) / len(tids)
+    # exhaustive would be ~2048 SW calls; seeded must be way under 0.2s
+    assert per_read < 0.2, per_read

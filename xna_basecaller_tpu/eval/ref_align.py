@@ -78,25 +78,67 @@ class PafRecord:
         return d
 
 
+class SeedIndex:
+    """Minimizer-free k-mer seed index over templates (both strands).
+
+    The minimap2-lite prefilter that keeps full-SW alignment tractable for
+    the 1024-template CPLX library: candidate (template, strand) pairs are
+    ranked by exact seed-hit counts and only the top few are aligned.
+    """
+
+    def __init__(self, targets: dict[str, str], k: int = 12):
+        self.k = k
+        self.index: dict[str, list] = {}
+        for tid, tar in targets.items():
+            for strand, seq in (("+", tar),
+                                ("-", reverse_complement_str(tar))):
+                for i in range(len(seq) - k + 1):
+                    km = seq[i:i + k]
+                    if "N" not in km:
+                        self.index.setdefault(km, []).append((tid, strand))
+
+    def candidates(self, read_n: str, top: int = 5) -> list:
+        counts: dict = {}
+        k = self.k
+        for i in range(len(read_n) - k + 1):
+            for hit in self.index.get(read_n[i:i + k], ()):
+                counts[hit] = counts.get(hit, 0) + 1
+        return sorted(counts, key=counts.get, reverse=True)[:top]
+
+
 def align_read(read_id: str, seq: str, targets: dict[str, str],
-               min_score: int = 30) -> PafRecord | None:
-    """Best local alignment of a read against all templates, both strands.
+               min_score: int = 30,
+               seed_index: SeedIndex | None = None,
+               top_candidates: int = 5) -> PafRecord | None:
+    """Best local alignment of a read against the templates, both strands.
 
     For UB-aware alignment the read's X/Y are scored as 'N' matches the
     dnafull way (N scores -2 vs everything) by mapping X/Y -> N before SW;
     the cs tag is then built against the N-encoded template, like
-    minimap2's view of the reference fasta.
+    minimap2's view of the reference fasta.  With a ``seed_index`` only
+    the top seed-hit candidates are SW-aligned (falling back to the full
+    scan when no seed matches).
     """
     seq_n = seq.replace("X", "N").replace("Y", "N")
+    rc_n = reverse_complement_str(seq_n)
+    if seed_index is not None:
+        cands = seed_index.candidates(seq_n, top=top_candidates)
+        pairs = [(strand, seq_n if strand == "+" else rc_n, tid)
+                 for tid, strand in cands]
+    else:
+        pairs = None
+    if not pairs:
+        pairs = [(strand, s, tid)
+                 for strand, s in (("+", seq_n), ("-", rc_n))
+                 for tid in targets]
     best = None
-    for strand, s in (("+", seq_n),
-                      ("-", reverse_complement_str(seq_n))):
-        for tid, tar in targets.items():
-            score, cigar, (q0, q1, r0, r1) = sw_align(s, tar)
-            if not cigar or score < min_score:
-                continue
-            if best is None or score > best[0]:
-                best = (score, strand, tid, s, cigar, q0, q1, r0, r1)
+    for strand, s, tid in pairs:
+        tar = targets[tid]
+        score, cigar, (q0, q1, r0, r1) = sw_align(s, tar)
+        if not cigar or score < min_score:
+            continue
+        if best is None or score > best[0]:
+            best = (score, strand, tid, s, cigar, q0, q1, r0, r1)
     if best is None:
         return None
     score, strand, tid, s, cigar, q0, q1, r0, r1 = best
@@ -121,17 +163,27 @@ def align_read(read_id: str, seq: str, targets: dict[str, str],
 
 
 def align_fastq(reads: dict[str, str], targets: dict[str, str],
-                min_score: int = 30, n_proc: int = 0) -> list[dict]:
-    """Align many reads; returns PAF records as dicts (paf_df rows)."""
+                min_score: int = 30, n_proc: int = 0,
+                use_seeds: bool | None = None) -> list[dict]:
+    """Align many reads; returns PAF records as dicts (paf_df rows).
+
+    Seed prefiltering is on by default for libraries with many templates
+    (the CPLX/1024 case); small libraries do the exhaustive scan.
+    """
+    if use_seeds is None:
+        use_seeds = len(targets) > 64
+    seed_index = SeedIndex(targets) if use_seeds else None
     if n_proc and n_proc > 1:
         from multiprocessing import Pool
         from functools import partial
         with Pool(n_proc) as pool:
             recs = pool.starmap(
-                partial(align_read, targets=targets, min_score=min_score),
+                partial(align_read, targets=targets, min_score=min_score,
+                        seed_index=seed_index),
                 reads.items(), chunksize=16)
     else:
-        recs = [align_read(rid, seq, targets, min_score)
+        recs = [align_read(rid, seq, targets, min_score,
+                           seed_index=seed_index)
                 for rid, seq in reads.items()]
     return [r.as_dict() for r in recs if r is not None]
 
