@@ -14,8 +14,6 @@ from time import perf_counter
 
 
 def main(args):
-    import numpy as np
-
     from xna_basecaller_tpu.data.fast5 import get_reads, read_chunks
     from xna_basecaller_tpu.data.writers import (
         CtcDataWriter, SamWriter, mean_qscore_from_qstring, summary_row,

@@ -13,8 +13,6 @@ import numpy as np
 
 
 def main(args):
-    import jax
-
     from xna_basecaller_tpu.core.alphabet import decode as decode_codes
     from xna_basecaller_tpu.data.ctc_data import load_numpy_datasets
     from xna_basecaller_tpu.eval.accuracy import accuracy

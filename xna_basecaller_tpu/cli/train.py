@@ -12,9 +12,6 @@ import sys
 
 
 def main(args):
-    import jax
-    import numpy as np
-
     from xna_basecaller_tpu.core import config as config_lib
     from xna_basecaller_tpu.data.ctc_data import load_datasets
     from xna_basecaller_tpu.models.crf_model import Model

@@ -9,9 +9,7 @@ fast5 (read_xxx groups) and single-read layouts.
 
 from __future__ import annotations
 
-import sys
 from glob import glob
-from itertools import chain
 from multiprocessing import Pool
 from pathlib import Path
 

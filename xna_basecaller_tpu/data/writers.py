@@ -11,7 +11,6 @@ filter + shuffle (io.py:562-579).
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
-
 from xna_basecaller_tpu.core.alphabet import reverse_complement_str
 from xna_basecaller_tpu.eval.accuracy import sw_align
 

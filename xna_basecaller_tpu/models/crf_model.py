@@ -27,7 +27,7 @@ import numpy as np
 from xna_basecaller_tpu.core.config import ModelConfig
 from xna_basecaller_tpu.ops import crf as crf_ops
 from xna_basecaller_tpu.ops.conv import conv_stack_forward, init_conv_stack
-from xna_basecaller_tpu.ops.lstm import init_lstm_stack, lstm_stack_forward
+from xna_basecaller_tpu.ops.lstm import init_lstm_stack
 
 
 def init_linear(key, insize: int, size: int, dtype=jnp.float32):

@@ -12,7 +12,6 @@ channel axis onto lanes; convolutions use lax.conv_general_dilated with
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

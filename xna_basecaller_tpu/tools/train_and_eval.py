@@ -63,8 +63,6 @@ def train_and_eval(workdir: str, data_dir: str, exp: str = "POC",
                    test_read_ids: str | None = None,
                    log=print) -> dict:
     """End-to-end: train, validate per epoch, pick best, test-eval."""
-    import argparse
-
     from xna_basecaller_tpu.cli.train import main as train_main, argparser
 
     # 1) training (resumable: Trainer picks up the latest epoch)
