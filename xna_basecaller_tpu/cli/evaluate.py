@@ -43,8 +43,12 @@ def main(args):
         c = np.asarray(chunks[start:start + args.batchsize], np.float32)
         t = targets[start:start + args.batchsize]
         l = lengths[start:start + args.batchsize]
+        n_real = len(c)
+        if n_real < args.batchsize:  # pad: keep one compiled shape
+            pad = np.zeros((args.batchsize - n_real, c.shape[1]), c.dtype)
+            c = np.concatenate([c, pad])
         scores = eval_scores(params, c, cfg)
-        batch_seqs = model.decode_batch(scores)
+        batch_seqs = model.decode_batch(scores[:, :n_real])
         batch_refs = [decode_codes(row[:ln], model.alphabet)
                       for row, ln in zip(t, l)]
         seqs.extend(batch_seqs)
