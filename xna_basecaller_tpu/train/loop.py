@@ -205,31 +205,42 @@ class Trainer:
         step = 0
         for epoch in range(1 + last_epoch, epochs + 1 + last_epoch):
             t0 = perf_counter()
-            smoothed = None
             chunks_seen = 0
+            # Defer loss/grad-norm materialisation: a per-step host sync
+            # costs a full device round-trip; keep the scalars on device
+            # and fetch them in one stacked transfer at epoch end.
+            dev_stats = []
+            rows = []
+            for batch in self.train_data.batches(
+                    self.batchsize, shuffle=True, seed=self.seed + epoch,
+                    drop_last=True):
+                c, t, l = self._shard(batch)
+                params, opt_state, loss, grad_norm = train_step(
+                    params, opt_state, c, t, l, self.model.cfg,
+                    optimizer, self.compute_dtype,
+                    self.grad_accum_split,
+                    jax.random.fold_in(jax.random.key(self.seed), step))
+                chunks_seen += batch[0].shape[0]
+                dev_stats.append((loss, grad_norm))
+                rows.append({
+                    "chunks": chunks_seen,
+                    "time": perf_counter() - t0,
+                    "lr": float(schedule(step)),
+                })
+                step += 1
+            losses = np.asarray(jnp.stack([s[0] for s in dev_stats]))
+            grad_norms = np.asarray(jnp.stack([s[1] for s in dev_stats]))
+            smoothed = None
             with CSVLogger(os.path.join(
                     workdir, f"losses_{epoch}.csv")) as loss_log:
-                for batch in self.train_data.batches(
-                        self.batchsize, shuffle=True, seed=self.seed + epoch,
-                        drop_last=True):
-                    c, t, l = self._shard(batch)
-                    params, opt_state, loss, grad_norm = train_step(
-                        params, opt_state, c, t, l, self.model.cfg,
-                        optimizer, self.compute_dtype,
-                        self.grad_accum_split,
-                        jax.random.fold_in(jax.random.key(self.seed), step))
-                    loss = float(loss)
-                    chunks_seen += batch[0].shape[0]
-                    smoothed = loss if smoothed is None else (
-                        0.01 * loss + 0.99 * smoothed)
+                for row, lo, gn in zip(rows, losses, grad_norms):
+                    smoothed = float(lo) if smoothed is None else (
+                        0.01 * float(lo) + 0.99 * smoothed)
                     loss_log.append({
-                        "chunks": chunks_seen,
-                        "time": perf_counter() - t0,
-                        "grad_norm": float(grad_norm),
-                        "lr": float(schedule(step)),
-                        "loss": loss,
+                        "chunks": row["chunks"], "time": row["time"],
+                        "grad_norm": float(gn), "lr": row["lr"],
+                        "loss": float(lo),
                     })
-                    step += 1
             duration = perf_counter() - t0
 
             ckpt.save_checkpoint(
