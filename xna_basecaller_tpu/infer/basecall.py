@@ -115,7 +115,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
             dev = jax.device_put(np.asarray(padded, np.float16))
             yield keys, n, dev
 
-    uploads = thread_iter(gen_uploads())
+    uploads = thread_iter(gen_uploads(), maxsize=3)
 
     def gen_compute():
         # dispatch-only stage: the device arrays are NOT synced here, so
@@ -127,7 +127,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                 sc, model.seqdist.n_base, model.seqdist.state_len, reverse)
             yield keys, n, paths
 
-    computed = thread_iter(gen_compute())
+    computed = thread_iter(gen_compute(), maxsize=3)
 
     def gen_fetch():
         for keys, n, paths in computed:
