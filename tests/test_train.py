@@ -193,3 +193,27 @@ def test_dropout_active_in_training_only():
     s4 = crf_model.forward(params, sig, cfg, jnp.float32)
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(s3), np.asarray(s4))
+
+
+def test_merge_ctc_dirs_hybrid(tmp_path):
+    """Hybrid data prep: merge a DNA pack with an XNA pack."""
+    from xna_basecaller_tpu.data.ctc_data import (
+        load_numpy_datasets, merge_ctc_dirs,
+    )
+    dna = simulate_ctc_dataset(6, chunk_len=400, target_len=50, seed=1)
+    xna = simulate_ctc_dataset(4, chunk_len=400, target_len=60, seed=2,
+                               ub_prop=0.05)
+    save_ctc_data(str(tmp_path / "dna"), *dna)
+    save_ctc_data(str(tmp_path / "xna"), *xna)
+    n = merge_ctc_dirs(str(tmp_path / "mix"), str(tmp_path / "dna"),
+                       str(tmp_path / "xna"))
+    assert n == 10
+    chunks, targets, lengths, bkps = load_numpy_datasets(
+        str(tmp_path / "mix"), load_bkps=True)
+    assert len(chunks) == 10
+    assert targets.shape[1] >= 60  # padded to widest
+    assert (targets > 4).any()     # XNA chunks present
+    # limits honoured
+    n2 = merge_ctc_dirs(str(tmp_path / "mix2"), str(tmp_path / "dna"),
+                        str(tmp_path / "xna"), limits=[3, None])
+    assert n2 == 7
