@@ -46,6 +46,27 @@ def load_model(dirname: str, weights: int | None = None,
     template = init_params(jax.random.key(seed), cfg)
     epoch = weights if weights is not None else ckpt.latest_epoch(dirname)
     if epoch is None:
+        # fall back to reference-format torch checkpoints (weights_N.tar)
+        import re
+        from glob import glob
+
+        tars = glob(os.path.join(dirname, "weights_*.tar"))
+        if tars:
+            tar_epochs = {int(re.sub(r".*_(\d+)\.tar$", r"\1", f))
+                          for f in tars}
+            tar_epoch = weights if weights is not None else max(tar_epochs)
+            from xna_basecaller_tpu.utils.torch_import import (
+                load_torch_checkpoint,
+            )
+            params = load_torch_checkpoint(
+                os.path.join(dirname, f"weights_{tar_epoch}.tar"), cfg)
+            if skip_top:
+                for key in ("head", "head_ext"):
+                    if key in template:
+                        params[key] = template[key]
+            import jax.numpy as jnp
+            params = jax.tree.map(jnp.asarray, params)
+            return model, params, cfg
         raise FileNotFoundError(
             f"no model weights found in '{dirname}'")
     path = os.path.join(dirname, f"weights_{epoch}.npz")
