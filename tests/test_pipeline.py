@@ -113,3 +113,40 @@ def test_basecall_reverse_strand(tiny_model):
     assert len(out) == 2
     for a in out.values():
         assert len(a["sequence"]) > 0
+
+
+def test_basecall_real_qscores(tiny_model):
+    """qscores=True emits posterior-derived qualities; sequence unchanged."""
+    model, params = tiny_model
+    reads = list(simulate_reads(2, mean_len=3000, seed=6))
+    plain = dict((r.read_id, a) for r, a in basecall(
+        model, params, iter(reads), chunksize=1200, overlap=200,
+        batchsize=4))
+    qual = dict((r.read_id, a) for r, a in basecall(
+        model, params, iter(reads), chunksize=1200, overlap=200,
+        batchsize=4, qscores=True))
+    for rid in plain:
+        assert qual[rid]["sequence"] == plain[rid]["sequence"]
+        qs = qual[rid]["qstring"]
+        assert len(qs) == len(qual[rid]["sequence"])
+        # a random-init model is rightly unconfident (low phred); the
+        # default path emits the reference's dummy mid-scale qstring
+        assert set(plain[rid]["qstring"]) == {"O"}
+        assert all(ord(c) >= 33 for c in qs)
+
+
+def test_decode_qual_confident_on_boosted_scores():
+    """Posterior qualities are high exactly where the path is certain."""
+    from xna_basecaller_tpu.ops import crf
+    nb, sl, T = 4, 2, 16
+    ns = nb ** sl
+    C = (nb + 1) * ns
+    rng = np.random.default_rng(11)
+    scores = rng.normal(scale=0.05, size=(T, 1, C)).astype(np.float32)
+    state = 0
+    for t in range(T):  # strong stay path at state 0
+        scores[t, 0, state * (nb + 1)] += 12.0
+    labels, probs = crf.decode_paths_with_qual(scores, nb, sl)
+    probs = np.asarray(probs)[0]
+    assert np.asarray(labels)[0].tolist() == [0] * T
+    assert probs.min() > 0.95  # certain path -> posterior ~1

@@ -89,7 +89,8 @@ def main(args):
         for read, attrs in basecall(
                 model, params, reads, chunksize=chunksize,
                 overlap=cfg.basecaller.overlap,
-                batchsize=cfg.basecaller.batchsize, reverse=args.revcomp):
+                batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
+                qscores=args.qscores):
             n_reads += 1
             n_samples += len(read.signal)
             seq, qstring = attrs["sequence"], attrs["qstring"]
@@ -142,6 +143,9 @@ def argparser():
                         help="treat --read-ids as an exclude list")
     parser.add_argument("--revcomp", action="store_true",
                         help="reverse-complement decoding (R strand)")
+    parser.add_argument("--qscores", action="store_true",
+                        help="emit real per-base qualities from posterior "
+                             "confidences (reference UB path uses dummies)")
     parser.add_argument("--recursive", action="store_true")
     parser.add_argument("--weights", default=0, type=int,
                         help="checkpoint epoch (0 = latest)")

@@ -36,6 +36,16 @@ from xna_basecaller_tpu.utils.pipeline import thread_iter
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
+def _score_and_decode_qual(scores, n_base: int, state_len: int,
+                           reverse: bool = False):
+    """Decode with per-frame posterior confidences (real qscores)."""
+    if reverse:
+        scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    paths, probs = crf_ops.decode_paths_with_qual(scores, n_base, state_len)
+    return paths.astype(jnp.int8), probs.astype(jnp.float16)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
 def _score_and_decode(scores, n_base: int, state_len: int,
                       reverse: bool = False):
     """CRF scores -> per-frame label paths [N, T'] int8.
@@ -90,13 +100,18 @@ def _pad_batch(batch: np.ndarray, batchsize: int) -> tuple[np.ndarray, int]:
 def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              overlap: int = 500, batchsize: int = 384,
              reverse: bool = False, compute_dtype=jnp.bfloat16,
-             legacy_char_stitch: bool = False) -> Iterator:
+             legacy_char_stitch: bool = False,
+             qscores: bool = False) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
     ``reads`` yield objects with ``.signal`` (1-D float32) and ``.read_id``.
+    ``qscores=True`` emits real per-base qualities from the Viterbi edge
+    posteriors (the reference's UB path only has dummy qualities).
     """
     stride = model.stride
+    qbias = model.cfg.qscore.bias
+    qscale = model.cfg.qscore.scale
 
     def gen_chunks():
         for read in reads:
@@ -123,15 +138,25 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
         # drain device->host in the fetch stage below
         for keys, n, dev in uploads:
             sc = model.apply(params, dev, compute_dtype=compute_dtype)
-            paths = _score_and_decode(
-                sc, model.seqdist.n_base, model.seqdist.state_len, reverse)
-            yield keys, n, paths
+            if qscores:
+                paths, probs = _score_and_decode_qual(
+                    sc, model.seqdist.n_base, model.seqdist.state_len,
+                    reverse)
+            else:
+                paths = _score_and_decode(
+                    sc, model.seqdist.n_base, model.seqdist.state_len,
+                    reverse)
+                probs = None
+            yield keys, n, paths, probs
 
     computed = thread_iter(gen_compute(), maxsize=3)
 
     def gen_fetch():
-        for keys, n, paths in computed:
-            yield keys, {"path": np.asarray(paths)[:n]}
+        for keys, n, paths, probs in computed:
+            out = {"path": np.asarray(paths)[:n]}
+            if probs is not None:
+                out["prob"] = np.asarray(probs)[:n].astype(np.float32)
+            yield keys, out
 
     scores = thread_iter(gen_fetch())
 
@@ -149,9 +174,18 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                     reverse=reverse)
             seq = model.seqdist.path_to_str(stitched)
             moves = (np.asarray(stitched) != 0)
-            # The UB decode path has no per-base qualities; emit the dummy
-            # mid-scale qstring like the reference (crf/basecall.py:67).
-            qstring = "O" * len(seq)
+            if "prob" in attrs:
+                from xna_basecaller_tpu.data.writers import phred
+                probs = chunkops.stitch(
+                    attrs["prob"], chunksize, overlap, end - start, stride,
+                    reverse=reverse)
+                base_probs = np.asarray(probs)[moves]
+                qstring = "".join(
+                    phred(p, scale=qscale, bias=qbias) for p in base_probs)
+            else:
+                # Parity with the reference UB path's dummy mid-scale
+                # qstring (crf/basecall.py:67).
+                qstring = "O" * len(seq)
             yield read, {
                 "sequence": seq,
                 "qstring": qstring,

@@ -522,3 +522,52 @@ class CTCCRF:
 
     def reverse_complement(self, scores):
         return reverse_complement(scores, self.n_base, self.state_len)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
+def decode_paths_with_qual(scores, n_base: int, state_len: int):
+    """Decode chain returning per-frame labels AND the posterior
+    probability of each chosen transition: ([N, T] int32, [N, T] f32).
+
+    The reference's UB path emits dummy qualities (crf/basecall.py:67);
+    here the Log-semiring edge posterior of the Viterbi-selected
+    transition gives a real per-base confidence.
+    """
+    scores = scores.astype(jnp.float32)
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    nsd = ns // n_base
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    alphas = forward_scores(scores, n_base, state_len, LOG)
+    betas = backward_scores(scores, n_base, state_len, LOG)
+    logz = semiring_sum(alphas[-1], -1, LOG)
+
+    v0 = jnp.zeros((N, ns), jnp.float32)
+
+    def vstep(v, inp):
+        ms_t, alpha_t, beta_n = inp
+        pred_a = _expand_pred(alpha_t, n_base, ns)
+        edge = jnp.concatenate([alpha_t[..., None], pred_a], -1) + ms_t \
+            + beta_n[..., None] - logz[:, None, None]
+        s2 = jnp.log(jnp.exp(edge) + 1e-8)
+        stay = (v + s2[..., 0])[..., None]
+        move = _expand_pred(v, n_base, ns) + s2[..., 1:]
+        full = jnp.concatenate([stay, move], axis=-1)
+        k = jnp.argmax(full, axis=-1).astype(jnp.int32)
+        return jnp.max(full, axis=-1), (k, edge)
+
+    v_final, (ks, edges) = jax.lax.scan(
+        vstep, v0, (Ms, alphas[:-1], betas[1:]))
+    j_final = jnp.argmax(v_final, axis=-1).astype(jnp.int32)
+    batch_idx = jnp.arange(N)
+
+    def back(j, inp):
+        k_t, edge_t = inp
+        k = k_t[batch_idx, j]
+        p = jnp.exp(edge_t[batch_idx, j, k])
+        prev = jnp.where(k == 0, j, (k - 1) * nsd + j // n_base)
+        return prev, (k, p)
+
+    _, (labels, probs) = jax.lax.scan(back, j_final, (ks, edges),
+                                      reverse=True)
+    return labels.T.astype(jnp.int32), probs.T
