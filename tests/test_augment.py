@@ -135,3 +135,19 @@ def test_make_spike_augment_closure(dataset):
                  np.asarray(refs, np.int32), np.asarray(lens, np.int32),
                  np.asarray(bkps, np.int32), rng)
     assert not np.array_equal(t, t2)
+
+
+def test_spike_mix_ubs_false_single_type(dataset, pore_tables):
+    c, t = _run(dataset, pore_tables, prop_ubs=0.10, ub_codes=(5, 6),
+                mix_ubs=False)
+    refs = np.asarray(dataset[1])
+    for i in range(len(t)):
+        new = t[i][(t[i] > 4) & (refs[i] <= 4)]
+        if len(new):
+            assert len(set(new.tolist())) == 1, new
+
+
+def test_spike_var_prop_ubs_varies_counts(dataset, pore_tables):
+    c1, t1 = _run(dataset, pore_tables, prop_ubs=0.10, var_prop_ubs=0.08)
+    counts = [(row > 4).sum() for row in t1]
+    assert len(set(counts)) > 1  # per-item proportion jitter

@@ -119,13 +119,15 @@ def _med_mad_squiggly(key, means, stds, valid):
 
 @partial(jax.jit, static_argnames=("max_spikes", "prop_ubs", "pad",
                                    "std_dist", "noise_std", "fully_synth",
-                                   "ub_codes", "legacy_pos"))
+                                   "ub_codes", "legacy_pos", "var_prop_ubs",
+                                   "mix_ubs"))
 def spike_batch(key, chunks, targets, lengths, breakpoints,
                 kmer_means, kmer_stds,
                 prop_ubs: float = 0.10, max_spikes: int = 64,
                 pad: int = 5, std_dist: str = "truncnorm_shift_1.5_0.5",
                 noise_std: float = 1.0, fully_synth: bool = False,
-                ub_codes: tuple = (5, 6), legacy_pos: bool = False):
+                ub_codes: tuple = (5, 6), legacy_pos: bool = False,
+                var_prop_ubs: float = 0.0, mix_ubs: bool = True):
     """Vectorised spike augmentation over a batch.
 
     chunks [B, T] f32, targets [B, L] i32, lengths [B] i32,
@@ -139,7 +141,7 @@ def spike_batch(key, chunks, targets, lengths, breakpoints,
         return _spike_one(key, chunk, target, length, bkps,
                           kmer_means, kmer_stds, prop_ubs, max_spikes, pad,
                           std_dist, noise_std, fully_synth, ub_codes,
-                          legacy_pos, T, L)
+                          legacy_pos, T, L, var_prop_ubs, mix_ubs)
 
     return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
 
@@ -178,8 +180,8 @@ def _choose_positions(key, length, n_pos, max_spikes, pad, ubs_pos_mask, L,
 
 def _spike_one(key, chunk, target, length, bkps, kmer_means, kmer_stds,
                prop_ubs, max_spikes, pad, std_dist, noise_std, fully_synth,
-               ub_codes, legacy_pos, T, L):
-    k_pos, k_ub, k_med, k_sig, k_noise = jax.random.split(key, 5)
+               ub_codes, legacy_pos, T, L, var_prop_ubs=0.0, mix_ubs=True):
+    k_pos, k_ub, k_med, k_sig, k_noise, k_prop = jax.random.split(key, 6)
     pos_idx = jnp.arange(L)
     in_len = pos_idx < length
     # padded breakpoint entries are zeros — replace with a large sentinel so
@@ -196,19 +198,31 @@ def _spike_one(key, chunk, target, length, bkps, kmer_means, kmer_stds,
     ub_window = dil > 0
 
     n_existing = is_ub.sum()
+    prop = prop_ubs
+    if var_prop_ubs > 0:
+        # per-item proportion jitter (reference spike_read,
+        # spike_chunks.py:256-257)
+        prop = prop_ubs + jax.random.uniform(
+            k_prop, (), minval=-var_prop_ubs, maxval=var_prop_ubs)
     n_pos = jnp.maximum(
-        jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
+        jnp.round(length * prop).astype(jnp.int32) - n_existing, 1)
     n_pos = jnp.minimum(n_pos, max_spikes)
 
     picks = _choose_positions(k_pos, length, n_pos, max_spikes, pad,
                               ub_window, L)
     picked = picks >= 0
 
-    # mixed UBs: alternate through ub_codes, shuffled
     codes = jnp.asarray(ub_codes, jnp.int32)
-    reps = jnp.tile(codes, (max_spikes + len(ub_codes) - 1) // len(ub_codes)
-                    )[:max_spikes]
-    spiked_ubs = jax.random.permutation(k_ub, reps)
+    if mix_ubs:
+        # mixed UBs: alternate through ub_codes, shuffled
+        reps = jnp.tile(
+            codes, (max_spikes + len(ub_codes) - 1) // len(ub_codes)
+        )[:max_spikes]
+        spiked_ubs = jax.random.permutation(k_ub, reps)
+    else:
+        # one UB type for the whole chunk (reference spike_chunks.py:278-279)
+        one_ub = codes[jax.random.randint(k_ub, (), 0, len(ub_codes))]
+        spiked_ubs = jnp.full((max_spikes,), one_ub, jnp.int32)
 
     # spike the target
     safe_picks = jnp.clip(picks, 0, L - 1)

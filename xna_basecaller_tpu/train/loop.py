@@ -204,6 +204,22 @@ class Trainer:
         history = []
         step = 0
         for epoch in range(1 + last_epoch, epochs + 1 + last_epoch):
+            try:
+                history, step = self._run_epoch(
+                    workdir, epoch, params_box := [params, opt_state],
+                    optimizer, schedule, history, step)
+                params, opt_state = params_box
+            except KeyboardInterrupt:
+                # break the epoch loop cleanly; prior epochs are already
+                # checkpointed (reference training.py:210-211)
+                self.log("[interrupted: stopping after last checkpoint]")
+                break
+        return {"params": jax.device_get(params), "history": history}
+
+    def _run_epoch(self, workdir, epoch, state_box, optimizer, schedule,
+                   history, step):
+        params, opt_state = state_box
+        if True:
             t0 = perf_counter()
             chunks_seen = 0
             # Defer loss/grad-norm materialisation: a per-step host sync
@@ -264,7 +280,9 @@ class Trainer:
             with CSVLogger(os.path.join(workdir, "training.csv")) as tl:
                 tl.append(row)
             history.append(row)
-        return {"params": jax.device_get(params), "history": history}
+        state_box[0] = params
+        state_box[1] = opt_state
+        return history, step
 
     def _freeze_labels(self, params):
         pred = self.frozen_predicate
