@@ -250,3 +250,15 @@ def test_cplx_seeded_alignment_speed():
     per_read = (time.perf_counter() - t0) / len(tids)
     # exhaustive would be ~2048 SW calls; seeded must be way under 0.2s
     assert per_read < 0.2, per_read
+
+
+def test_analyze_paf_per_read_csv(tmp_path, poc):
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    reads = _make_reads(poc, ["XNA01"], n_per=1)
+    records = align_fastq(reads, poc.targets)
+    analyze_paf("POC", records, reads, out_dir=str(tmp_path),
+                save_perf_per_read=True, log=lambda *a: None)
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "results_summ-per_read.csv")
+    assert len(df) == 2
+    assert "ub_acc" in df.columns and "read_id" in df.columns

@@ -81,6 +81,7 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
                 out_dir: str | None = None, out_prefix: str = "results_summ",
                 refs: XnaRefs | None = None, polish: bool = True,
                 save_detailed_perf: bool = True,
+                save_perf_per_read: bool = False,
                 log=print) -> dict:
     """Full evaluation; returns the summary dict and writes the CSV family.
 
@@ -221,6 +222,15 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
 
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
+        if save_perf_per_read:
+            per_read_cols = [c for c in (
+                "read_id", "target_id", "strand", "type", "percent_match",
+                "read_acc", "target_acc", "ub_acc", "ub_area_acc",
+                "non_ub_area_acc", "fdr", "fpr", "barcode_distance",
+            ) if c in paf_df.columns]
+            paf_df[per_read_cols].to_csv(
+                os.path.join(out_dir, out_prefix + "-per_read.csv"),
+                index=False, na_rep="nan", float_format="{:.4f}".format)
         pd.DataFrame([summary]).to_csv(
             os.path.join(out_dir, out_prefix + ".csv"), index=False,
             na_rep="nan", float_format="{:.3f}".format)
