@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import sys
 import time
 
@@ -59,6 +60,9 @@ def main():
     # The tunneled device's dispatch/transfer latency fluctuates heavily
     # run-to-run; report the best of three passes (machine capability,
     # not relay weather).
+    profile_dir = os.environ.get("XNACALL_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     best = None
     for i in range(3):
         fq = io.StringIO()
@@ -71,6 +75,8 @@ def main():
         if best is None or stats["samples_per_s"] > best["samples_per_s"]:
             best = stats
     stats = best
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     value = stats["samples_per_s"]
     print(json.dumps({
