@@ -227,16 +227,24 @@ class Trainer:
             # and fetch them in one stacked transfer at epoch end.
             dev_stats = []
             rows = []
-            for batch in self.train_data.batches(
-                    self.batchsize, shuffle=True, seed=self.seed + epoch,
-                    drop_last=True):
-                c, t, l = self._shard(batch)
+            # prefetch: augmentation (device-side jit) + batch sharding of
+            # batch k+1 overlap with step k's dispatch
+            from xna_basecaller_tpu.utils.pipeline import thread_iter
+
+            def _prefetched():
+                for batch in self.train_data.batches(
+                        self.batchsize, shuffle=True,
+                        seed=self.seed + epoch, drop_last=True):
+                    yield batch[0].shape[0], self._shard(batch)
+
+            for n_in_batch, (c, t, l) in thread_iter(_prefetched(),
+                                                     maxsize=2):
                 params, opt_state, loss, grad_norm = train_step(
                     params, opt_state, c, t, l, self.model.cfg,
                     optimizer, self.compute_dtype,
                     self.grad_accum_split,
                     jax.random.fold_in(jax.random.key(self.seed), step))
-                chunks_seen += batch[0].shape[0]
+                chunks_seen += n_in_batch
                 dev_stats.append((loss, grad_norm))
                 rows.append({
                     "chunks": chunks_seen,
