@@ -309,3 +309,35 @@ def test_explicit_viterbi_matches_grad_viterbi():
         np.asarray(labels), flat % (n_base + 1))
     np.testing.assert_array_equal(
         np.asarray(states), flat // (n_base + 1))
+
+
+def test_ctc_viterbi_alignments_valid_path():
+    """Lattice alignment: one-hot, starts at 0, ends at length-1, and is
+    monotone with steps of 0/+1."""
+    T, N, n = 10, 3, 5
+    rng = np.random.default_rng(30)
+    stay = rng.normal(size=(T, N, n)).astype(np.float32)
+    move = rng.normal(size=(T, N, n - 1)).astype(np.float32)
+    lengths = np.array([5, 3, 4], np.int32)
+    align = np.asarray(crf.ctc_viterbi_alignments(stay, move, lengths))
+    assert align.shape == (T, N, n)
+    pos = align.argmax(-1)
+    np.testing.assert_allclose(align.sum(-1), 1.0)
+    for b in range(N):
+        p = pos[:, b]
+        # the first frame applies a transition from position 0
+        assert p[0] in (0, 1)
+        assert p[-1] == lengths[b] - 1
+        assert np.all(np.isin(np.diff(p), [0, 1]))
+    # path score equals the max-semiring lattice logZ
+    picked = np.zeros(N)
+    for b in range(N):
+        p = pos[:, b]
+        picked[b] += stay[0, b, 0] if p[0] == 0 else move[0, b, 0]
+        for t in range(1, T):
+            if p[t] == p[t - 1] + 1:
+                picked[b] += move[t, b, p[t] - 1]
+            else:
+                picked[b] += stay[t, b, p[t]]
+    lz_max = np.asarray(crf.ctc_lattice_logz(stay, move, lengths, "max"))
+    np.testing.assert_allclose(picked, lz_max, rtol=1e-4, atol=1e-4)

@@ -475,6 +475,40 @@ def reverse_complement(scores, n_base: int, state_len: int):
     return jnp.concatenate([blanks, emissions], axis=-1).reshape(T, N, -1)
 
 
+@partial(jax.jit, static_argnames=())
+def ctc_viterbi_alignments(stay, move, lengths):
+    """Most-likely alignment through the stay/move lattice.
+
+    Equivalent of seqdist.ctc_simple.viterbi_alignments as invoked at
+    reference crf/model.py:133-135: returns a one-hot [T, N, n] tensor
+    marking the occupied k-mer position at each frame on the best path.
+    """
+    T, N, n = stay.shape
+    alpha = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
+
+    def fstep(alpha, inp):
+        stay_t, move_t = inp
+        stayed = alpha + stay_t
+        moved = alpha[:, :-1] + move_t
+        took_move = moved > stayed[:, 1:]
+        upper = jnp.where(took_move, moved, stayed[:, 1:])
+        new = jnp.concatenate([stayed[:, :1], upper], axis=1)
+        return new, took_move
+
+    alpha_T, took = jax.lax.scan(fstep, alpha, (stay, move))
+    idx = jnp.clip(lengths - 1, 0, n - 1)
+    batch = jnp.arange(N)
+
+    def bstep(pos, took_t):
+        moved = jnp.where(pos > 0, took_t[batch, jnp.maximum(pos - 1, 0)],
+                          False)
+        prev = jnp.where(moved, pos - 1, pos)
+        return prev, pos
+
+    _, positions = jax.lax.scan(bstep, idx, took, reverse=True)  # [T, N]
+    return jax.nn.one_hot(positions, n, dtype=stay.dtype)
+
+
 @dataclass(frozen=True)
 class CTCCRF:
     """Convenience bundle mirroring the reference CTC_CRF object
@@ -522,6 +556,13 @@ class CTCCRF:
 
     def reverse_complement(self, scores):
         return reverse_complement(scores, self.n_base, self.state_len)
+
+    def ctc_viterbi_alignments(self, scores, targets, target_lengths):
+        """Reference crf/model.py:133-135."""
+        stay, move = prepare_ctc_scores(
+            scores, targets, self.n_base, self.state_len)
+        return ctc_viterbi_alignments(
+            stay, move, target_lengths + 1 - self.state_len)
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len"))
