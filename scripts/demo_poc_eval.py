@@ -25,6 +25,9 @@ def main():
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--weights", type=int, default=None)
     p.add_argument("--reads-per-template", type=int, default=2)
+    p.add_argument("--exp", default="POC", choices=["POC", "CPLX"])
+    p.add_argument("--max-templates", type=int, default=0,
+                   help="subsample templates (CPLX has 1024)")
     p.add_argument("--out", default="/tmp/demo_poc_eval")
     args = p.parse_args()
 
@@ -49,7 +52,7 @@ def main():
         template, os.path.join(args.model_dir, f"weights_{epoch}.npz"))
     print(f"> loaded {args.model_dir}/weights_{epoch}.npz", flush=True)
 
-    poc = XnaRefs("POC")
+    poc = XnaRefs(args.exp)
     pore = load_pore_model()
     rng = np.random.default_rng(7)
 
@@ -62,7 +65,11 @@ def main():
 
     from xna_basecaller_tpu.core.alphabet import reverse_complement_str
     reads = []
-    for tid in poc.targets_id:
+    tids = poc.targets_id
+    if args.max_templates:
+        idx = rng.choice(len(tids), size=args.max_templates, replace=False)
+        tids = [tids[i] for i in sorted(idx)]
+    for tid in tids:
         tar = poc.targets[tid].replace("N", "X")
         for i in range(args.reads_per_template):
             reads.append(sim_read(f"{tid}_F_{i}", tar))
@@ -72,7 +79,7 @@ def main():
           f"{len(poc.targets_id)} templates", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
-    fq_path = os.path.join(args.out, "reads-POC-demo.fastq")
+    fq_path = os.path.join(args.out, f"reads-{args.exp}-demo.fastq")
     t0 = time.time()
     with open(fq_path, "w") as fq:
         stats = run_basecaller(model, params, iter(reads), fq,
@@ -80,9 +87,10 @@ def main():
     print(f"> basecalled {stats['reads']} reads in {stats['seconds']:.1f}s "
           f"({stats['samples_per_s']:.2E} samples/s)", flush=True)
 
-    summary = eval_model("POC", args.out, split="demo", reads_fastq=fq_path,
-                         max_bc_dist=5, log=lambda *a: print(*a, flush=True))
-    print("\n=== POC demo summary ===", flush=True)
+    summary = eval_model(args.exp, args.out, split="demo",
+                         reads_fastq=fq_path,
+                         log=lambda *a: print(*a, flush=True))
+    print(f"\n=== {args.exp} demo summary ===", flush=True)
     for k in ("num_aligned_reads", "demux", "align", "acc_xna", "acc_pc",
               "ub_acc", "ub_area_acc", "err_far_ub", "f1_score",
               "precision", "specificity"):
