@@ -73,3 +73,49 @@ def test_lstm_pallas_matches_scan_interpret():
                                    rtol=1e-5, atol=1e-5)
     finally:
         pl.pallas_call = orig
+
+
+def test_trainable_pallas_lstm_grads_match_scan():
+    """Custom-VJP gradients == autodiff through the scan LSTM."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        H, T, N = 32, 10, 3
+        p = init_lstm_params(jax.random.key(0), H, H)
+        x = jax.random.normal(jax.random.key(1), (T, N, H), jnp.float32)
+        dy_seed = jax.random.normal(jax.random.key(2), (T, N, H),
+                                    jnp.float32)
+
+        def loss_pallas(params, x):
+            y = lstm_pallas.lstm_forward_pallas_trainable(params, x)
+            return jnp.sum(y * dy_seed)
+
+        def loss_scan(params, x):
+            y = lstm_forward(params, x)
+            return jnp.sum(y * dy_seed)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+        g2 = jax.grad(loss_scan, argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+        # reverse direction
+        g1r = jax.grad(lambda p, x: jnp.sum(
+            lstm_pallas.lstm_forward_pallas_trainable(p, x, reverse=True)
+            * dy_seed), argnums=(0, 1))(p, x)
+        g2r = jax.grad(lambda p, x: jnp.sum(
+            lstm_forward(p, x, reverse=True) * dy_seed),
+            argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g1r), jax.tree.leaves(g2r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+    finally:
+        pl.pallas_call = orig

@@ -107,3 +107,140 @@ def lstm_stack_forward_pallas(layers, directions, x):
     for params, rev in zip(layers, directions):
         x = lstm_forward_pallas(params, x, reverse=rev)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Trainable variant: fused forward kernel + analytic backward (custom VJP)
+
+def _lstm_fwd_cells_kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
+    """Like _lstm_scan_kernel but also emits the cell states (backward
+    residuals).  One timestep per grid step (VMEM budget)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    h = h_ref[:]
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32)
+    H = h.shape[1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = f * c_ref[:] + i * g
+    h_new = (o * jnp.tanh(c)).astype(h_ref.dtype)
+    c_ref[:] = c
+    h_ref[:] = h_new
+    y_ref[0] = h_new.astype(y_ref.dtype)
+    c_out_ref[0] = c.astype(c_out_ref.dtype)
+
+
+def _pallas_fwd_with_cells(xp, w_hh):
+    T, N, H4 = xp.shape
+    H = H4 // 4
+    h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
+    return pl.pallas_call(
+        _lstm_fwd_cells_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, N, H), xp.dtype),
+            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, H), h_dtype),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(xp, w_hh)
+
+
+@jax.custom_vjp
+def lstm_recurrence_trainable(xp, w_hh):
+    """Differentiable fused recurrence: forward via the Pallas kernel,
+    backward via the analytic LSTM reverse recursion (XLA scan)."""
+    ys, _ = _pallas_fwd_with_cells(xp, w_hh)
+    return ys
+
+
+def _trainable_fwd(xp, w_hh):
+    ys, cs = _pallas_fwd_with_cells(xp, w_hh)
+    return ys, (xp, w_hh, ys, cs)
+
+
+def _trainable_bwd(res, dys):
+    xp, w_hh, ys, cs = res
+    T, N, H4 = xp.shape
+    H = H4 // 4
+    f32 = jnp.float32
+    w = w_hh.astype(f32)
+
+    ys_prev = jnp.concatenate(
+        [jnp.zeros((1, N, H), ys.dtype), ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate(
+        [jnp.zeros((1, N, H), cs.dtype), cs[:-1]], axis=0)
+
+    def step(carry, inp):
+        dh_carry, dc_carry, dw_acc = carry
+        dy_t, h_prev, c_prev, c_t, xp_t = inp
+        gates = xp_t.astype(f32) + jnp.dot(
+            h_prev.astype(f32), w, preferred_element_type=f32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        tc = jnp.tanh(c_t)
+        dh = dy_t.astype(f32) + dh_carry
+        do = dh * tc
+        dc = dh * o * (1 - tc * tc) + dc_carry
+        di = dc * g
+        df = dc * c_prev.astype(f32)
+        dg = dc * i
+        dgates = jnp.concatenate([
+            di * i * (1 - i), df * f * (1 - f),
+            dg * (1 - g * g), do * o * (1 - o)], axis=1)
+        dxp_t = dgates
+        dw_acc = dw_acc + jnp.dot(h_prev.astype(f32).T, dgates,
+                                  preferred_element_type=f32)
+        dh_prev = jnp.dot(dgates, w.T, preferred_element_type=f32)
+        dc_prev = dc * f
+        return (dh_prev, dc_prev, dw_acc), dxp_t
+
+    init = (jnp.zeros((N, H), f32), jnp.zeros((N, H), f32),
+            jnp.zeros((H, H4), f32))
+    (_, _, dw), dxp = jax.lax.scan(
+        step, init, (dys, ys_prev, cs_prev, cs, xp), reverse=True)
+    return dxp.astype(xp.dtype), dw.astype(w_hh.dtype)
+
+
+lstm_recurrence_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+def lstm_forward_pallas_trainable(params, x, reverse: bool = False):
+    """Differentiable drop-in for ops.lstm.lstm_forward with the fused
+    Pallas forward kernel."""
+    if reverse:
+        x = jnp.flip(x, axis=0)
+    xp = (jnp.einsum("tni,ih->tnh", x, params["w_ih"],
+                     preferred_element_type=jnp.float32)
+          + params["bias"]).astype(x.dtype)
+    ys = lstm_recurrence_trainable(xp, params["w_hh"])
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return ys
