@@ -573,6 +573,12 @@ def decode_paths_with_qual(scores, n_base: int, state_len: int):
     The reference's UB path emits dummy qualities (crf/basecall.py:67);
     here the Log-semiring edge posterior of the Viterbi-selected
     transition gives a real per-base confidence.
+
+    Calibration note: edge posteriors split probability mass over the
+    exact transition FRAME (a confident base whose move could land on
+    adjacent frames still gets p ~ 0.3-0.6), so these qualities are
+    conservative — monotone in confidence but not calibrated phred.
+    Window-aggregated calibration is future work.
     """
     scores = scores.astype(jnp.float32)
     T, N, C = scores.shape
