@@ -1,0 +1,376 @@
+"""Parity against the reference's OWN code (not hand-written oracles).
+
+Imports /root/reference/ub-bonito/bonito/{nn.py, crf/model.py} — pure
+torch, runnable on CPU — builds the flagship model from the real
+models/xna_r9.4.1_e8_sup@v3.3/config.toml, round-trips its state_dict
+through utils/torch_import.py, and asserts this framework reproduces the
+reference numerics:
+
+  * full flagship encoder forward on [N=4, T=3600] (reference
+    nn.py:88-153 + crf/model.py:138-237) to f32 tolerance;
+  * CTC_CRF semantics — logZ (Log and Max), normalise,
+    posteriors, viterbi, reverse_complement, prepare_ctc_scores,
+    ctc_loss, and the full decode_batch string chain
+    (crf/model.py:24-135, 204-221).
+
+The reference's GPU kernel package (ont-seqdist, CUDA/CuPy) is not
+installable here, so ``seqdist.sparse.logZ`` / ``seqdist.ctc_simple
+.logZ_cupy`` are provided as ~10-line dense torch stand-ins implementing
+the documented kernel contract (edge-score semiring scans over the
+reference's OWN ``CTC_CRF.idx`` table).  Both stubs are validated
+in-test against brute-force path enumeration before any comparison uses
+them, and ``SequenceDist.posteriors`` uses seqdist.core's defining
+identity (posteriors = d logZ / d scores) via torch autograd — so every
+piece of reference *logic* (idx construction, reshapes, gathers,
+normalise/loss glue, argmax-%-alphabet decode) runs as written.
+"""
+
+import importlib
+import itertools
+import math
+import os
+import sys
+import tomllib
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from xna_basecaller_tpu.core import config as config_lib  # noqa: E402
+from xna_basecaller_tpu.models import crf_model  # noqa: E402
+from xna_basecaller_tpu.ops import crf as crf_ops  # noqa: E402
+from xna_basecaller_tpu.utils.torch_import import import_state_dict  # noqa: E402
+
+REF = "/root/reference/ub-bonito/bonito"
+FLAGSHIP_TOML = os.path.join(REF, "models", "xna_r9.4.1_e8_sup@v3.3",
+                             "config.toml")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FLAGSHIP_TOML), reason="reference tree not present")
+
+
+# ---------------------------------------------------------------------------
+# seqdist stand-ins (documented kernel contract; brute-force validated below)
+# ---------------------------------------------------------------------------
+
+class _Log:
+    one = 0.0
+    zero = -1e38
+
+    @staticmethod
+    def sum(x, dim):
+        return torch.logsumexp(x, dim)
+
+
+class _Max:
+    one = 0.0
+    zero = -1e38
+
+    @staticmethod
+    def sum(x, dim):
+        return torch.max(x, dim).values
+
+
+def _sparse_logZ(Ms, idx, alpha_0, beta_T, S):
+    """seqdist.sparse.logZ contract: semiring scan over the sparse
+    transition structure.  Ms [T, N, n_state, K] edge scores into state s
+    from predecessor idx[s, k]; returns [N] partition values."""
+    T = Ms.shape[0]
+    idxl = idx.long()
+    alpha = alpha_0
+    for t in range(T):
+        alpha = S.sum(alpha[:, idxl] + Ms[t], 2)
+    return S.sum(alpha + beta_T, 1)
+
+
+def _ctc_logZ(stay, move, lengths, S=_Log):
+    """seqdist.ctc_simple.logZ contract: stay/move alignment lattice.
+    stay [T, N, n], move [T, N, n-1]; paths start at position 0 and must
+    end at position lengths-1."""
+    T, N, n = stay.shape
+    alpha = torch.full((N, n), S.zero, dtype=stay.dtype)
+    alpha[:, 0] = S.one
+    for t in range(T):
+        stayed = alpha + stay[t]
+        moved = alpha[:, :-1] + move[t]
+        upper = S.sum(torch.stack([stayed[:, 1:], moved], -1), -1)
+        alpha = torch.cat([stayed[:, :1], upper], 1)
+    return alpha.gather(1, (lengths.long() - 1).clamp(0, n - 1)[:, None])[:, 0]
+
+
+class _SequenceDist:
+    """seqdist.core.SequenceDist surface: posteriors are the gradient of
+    the partition function w.r.t. the scores (edge marginals for Log,
+    one-hot Viterbi traceback for Max)."""
+
+    def posteriors(self, scores, S=_Log):
+        scores = scores.detach().clone().requires_grad_(True)
+        self.logZ(scores, S).sum().backward()
+        return scores.grad
+
+
+def _install_reference_modules():
+    if "bonito.crf.model" in sys.modules:
+        return (sys.modules["bonito.nn"], sys.modules["bonito.crf.model"])
+    seqdist = types.ModuleType("seqdist")
+    core = types.ModuleType("seqdist.core")
+    core.SequenceDist = _SequenceDist
+    core.Max = _Max
+    core.Log = _Log
+    core.semiring = object
+    sparse = types.ModuleType("seqdist.sparse")
+    sparse.logZ = _sparse_logZ
+    sparse.fwd_scores_cupy = None
+    sparse.bwd_scores_cupy = None
+    ctc_simple = types.ModuleType("seqdist.ctc_simple")
+    ctc_simple.logZ_cupy = _ctc_logZ
+    ctc_simple.viterbi_alignments = None
+    seqdist.core, seqdist.sparse, seqdist.ctc_simple = core, sparse, ctc_simple
+    sys.modules.update({
+        "seqdist": seqdist, "seqdist.core": core, "seqdist.sparse": sparse,
+        "seqdist.ctc_simple": ctc_simple,
+    })
+    # Synthetic 'bonito' package rooted at the read-only reference tree so
+    # bonito.nn / bonito.crf.model import WITHOUT executing bonito/__init__
+    # (whose CLI imports need pysam etc.).
+    pkg = types.ModuleType("bonito")
+    pkg.__path__ = [REF]
+    crfpkg = types.ModuleType("bonito.crf")
+    crfpkg.__path__ = [os.path.join(REF, "crf")]
+    sys.modules["bonito"] = pkg
+    sys.modules["bonito.crf"] = crfpkg
+    nn = importlib.import_module("bonito.nn")
+    model = importlib.import_module("bonito.crf.model")
+    return nn, model
+
+
+@pytest.fixture(scope="module")
+def ref():
+    nn, model = _install_reference_modules()
+    return types.SimpleNamespace(nn=nn, model=model)
+
+
+# ---------------------------------------------------------------------------
+# stub validation: brute-force path enumeration over the reference idx table
+# ---------------------------------------------------------------------------
+
+def test_sparse_logz_stub_matches_brute_force(ref):
+    """The dense seqdist.sparse.logZ stand-in must equal exp-sum over all
+    (state path, edge choice) combinations using the reference's idx."""
+    dist = ref.model.CTC_CRF(state_len=1, alphabet=["N", "A", "C"])
+    ns, K = dist.idx.shape  # 2 states, 3 columns for n_base=2
+    T, N = 4, 2
+    g = torch.Generator().manual_seed(0)
+    Ms = torch.randn(T, N, ns, K, generator=g)
+    alpha_0 = torch.zeros(N, ns)
+    beta_T = torch.zeros(N, ns)
+    got = _sparse_logZ(Ms, dist.idx, alpha_0, beta_T, _Log)
+
+    idx = dist.idx.numpy()
+    for n in range(N):
+        z = 0.0
+        for path in itertools.product(range(ns), repeat=T + 1):
+            p = 1.0
+            for t in range(T):
+                e = sum(math.exp(float(Ms[t, n, path[t + 1], k]))
+                        for k in range(K) if idx[path[t + 1], k] == path[t])
+                p *= e
+            z += p
+        np.testing.assert_allclose(float(got[n]), math.log(z), rtol=1e-5)
+
+
+def test_ctc_lattice_stub_matches_brute_force():
+    T, N, n = 5, 2, 3
+    g = torch.Generator().manual_seed(1)
+    stay = torch.randn(T, N, n, generator=g)
+    move = torch.randn(T, N, n - 1, generator=g)
+    lengths = torch.tensor([n, n - 1])
+    got = _ctc_logZ(stay, move, lengths)
+    for b in range(N):
+        z = 0.0
+        for choices in itertools.product([0, 1], repeat=T):
+            pos, logp, ok = 0, 0.0, True
+            for t, mv in enumerate(choices):
+                if mv:
+                    if pos + 1 >= n:
+                        ok = False
+                        break
+                    logp += float(move[t, b, pos])
+                    pos += 1
+                else:
+                    logp += float(stay[t, b, pos])
+            if ok and pos == int(lengths[b]) - 1:
+                z += math.exp(logp)
+        np.testing.assert_allclose(float(got[b]), math.log(z), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# CTC_CRF semantics: reference class vs this framework
+# ---------------------------------------------------------------------------
+
+def _dists(ref, alphabet="NACGT", state_len=2):
+    rdist = ref.model.CTC_CRF(state_len=state_len, alphabet=list(alphabet))
+    jdist = crf_ops.CTCCRF(state_len=state_len, alphabet=alphabet)
+    return rdist, jdist
+
+
+def _scores(rdist, T=10, N=3, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(T, N, rdist.n_score(), generator=g)
+
+
+@pytest.mark.parametrize("alphabet,state_len", [("NACGT", 2), ("NACGTXY", 3)])
+def test_logz_normalise_parity(ref, alphabet, state_len):
+    rdist, jdist = _dists(ref, alphabet, state_len)
+    scores = _scores(rdist, T=8, N=2)
+    want = rdist.logZ(scores).numpy()
+    got = np.asarray(jdist.logZ(jnp.asarray(scores.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    want_max = rdist.logZ(scores, _Max).numpy()
+    got_max = np.asarray(jdist.logZ(jnp.asarray(scores.numpy()),
+                                    crf_ops.MAX))
+    np.testing.assert_allclose(got_max, want_max, rtol=1e-5, atol=1e-5)
+
+    want_n = rdist.normalise(scores).numpy()
+    got_n = np.asarray(jdist.normalise(jnp.asarray(scores.numpy())))
+    np.testing.assert_allclose(got_n, want_n, rtol=1e-5, atol=1e-5)
+
+
+def test_posteriors_and_viterbi_parity(ref):
+    rdist, jdist = _dists(ref)
+    scores = _scores(rdist, T=12, N=3, seed=3)
+    want = rdist.posteriors(scores).numpy()
+    got = np.asarray(jdist.posteriors(jnp.asarray(scores.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    # viterbi: reference crf/model.py:92-95 (Max-posterior traceback
+    # argmax % len(alphabet))
+    want_path = rdist.viterbi(scores).numpy()
+    got_path = np.asarray(jdist.viterbi(jnp.asarray(scores.numpy())))
+    np.testing.assert_array_equal(got_path, want_path)
+
+
+def test_reverse_complement_parity(ref):
+    for alphabet, state_len in (("NACGT", 2), ("NACGTXY", 3)):
+        rdist, jdist = _dists(ref, alphabet, state_len)
+        scores = _scores(rdist, T=6, N=2, seed=4)
+        want = rdist.reverse_complement(scores).numpy()
+        got = np.asarray(jdist.reverse_complement(
+            jnp.asarray(scores.numpy())))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
+def _targets(rdist, N, L, seed=5):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randint(1, rdist.n_base + 1, (N, L), generator=g)
+
+
+def test_prepare_ctc_scores_parity(ref):
+    rdist, _ = _dists(ref)
+    scores = _scores(rdist, T=9, N=2, seed=6)
+    targets = _targets(rdist, N=2, L=7)
+    want_stay, want_move = rdist.prepare_ctc_scores(scores, targets)
+    got_stay, got_move = crf_ops.prepare_ctc_scores(
+        jnp.asarray(scores.numpy()), jnp.asarray(targets.numpy()),
+        rdist.n_base, rdist.state_len)
+    np.testing.assert_allclose(np.asarray(got_stay), want_stay.numpy(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_move), want_move.numpy(),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("alphabet,state_len", [("NACGT", 2), ("NACGTXY", 3)])
+def test_ctc_loss_parity(ref, alphabet, state_len):
+    rdist, jdist = _dists(ref, alphabet, state_len)
+    scores = _scores(rdist, T=14, N=3, seed=7)
+    targets = _targets(rdist, N=3, L=8)
+    lengths = torch.tensor([8, 7, 8])
+    want = float(rdist.ctc_loss(scores, targets, lengths))
+    got = float(jdist.ctc_loss(jnp.asarray(scores.numpy()),
+                               jnp.asarray(targets.numpy()),
+                               jnp.asarray(lengths.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # unreduced + clipped variants
+    want_n = rdist.ctc_loss(scores, targets, lengths, reduction='none',
+                            loss_clip=2.0).numpy()
+    got_n = np.asarray(jdist.ctc_loss(
+        jnp.asarray(scores.numpy()), jnp.asarray(targets.numpy()),
+        jnp.asarray(lengths.numpy()), reduction="none", loss_clip=2.0))
+    np.testing.assert_allclose(got_n, want_n, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_batch_string_parity(ref):
+    """Full decode chain (reference crf/model.py:215-218) — posteriors,
+    +1e-8, log, Max traceback, argmax % alphabet, path_to_str."""
+    rdist, jdist = _dists(ref, "NACGTXY", 2)
+    scores = _scores(rdist, T=20, N=4, seed=8)
+    model = ref.model.SeqdistModel.__new__(ref.model.SeqdistModel)
+    model.seqdist = rdist
+    want = [rdist.path_to_str(p) for p in
+            rdist.viterbi((rdist.posteriors(scores.to(torch.float32))
+                           + 1e-8).log()).to(torch.int16).T.numpy()]
+    got = jdist.decode_batch(jnp.asarray(scores.numpy()))
+    assert got == want
+    assert any(want)  # non-degenerate fixture
+
+
+# ---------------------------------------------------------------------------
+# flagship forward: real config.toml + reference encoder vs imported params
+# ---------------------------------------------------------------------------
+
+def _build_flagship(ref, seed=0):
+    with open(FLAGSHIP_TOML, "rb") as fh:
+        config = tomllib.load(fh)
+    torch.manual_seed(seed)
+    model = ref.model.Model(config)
+    model.eval()
+    return model, config
+
+
+def test_flagship_forward_parity(ref):
+    """The bit-match north star's first half: reference Model(config) built
+    from the real flagship config.toml, its state_dict imported, and the
+    full [N=4, T=3600] forward compared at f32."""
+    tmodel, _ = _build_flagship(ref)
+    assert tmodel.stride == 5 and tmodel.alphabet == list("NACGTXY")
+
+    cfg = config_lib.load(FLAGSHIP_TOML)
+    params = import_state_dict(tmodel.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=(4, 3600)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(sig)[:, None, :]).numpy()
+    got = np.asarray(crf_model.forward(params, sig, cfg,
+                                       compute_dtype=jnp.float32))
+    assert got.shape == want.shape == (720, 4, 1512)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_flagship_decode_parity(ref):
+    """Second half of the chain: encoder scores -> decode_batch strings,
+    reference vs framework, on the flagship 6-base/state_len-3 shapes."""
+    tmodel, _ = _build_flagship(ref, seed=1)
+    cfg = config_lib.load(FLAGSHIP_TOML)
+    params = import_state_dict(tmodel.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    sig = rng.normal(size=(2, 600)).astype(np.float32)
+    with torch.no_grad():
+        scores = tmodel(torch.from_numpy(sig)[:, None, :])
+    jscores = crf_model.forward(params, sig, cfg, compute_dtype=jnp.float32)
+    # A random-init model emits all-blanks (fixed blank_score 2.0 beats the
+    # tanh-bounded move scores); add one shared perturbation so the decode
+    # exercises real emissions while both sides still see encoder output.
+    pert = torch.from_numpy(
+        rng.normal(scale=4.0, size=tuple(scores.shape)).astype(np.float32))
+    want = tmodel.decode_batch(scores + pert)  # autograd posteriors stub
+    got = crf_ops.CTCCRF(cfg.state_len, cfg.alphabet).decode_batch(
+        jscores + jnp.asarray(pert.numpy()))
+    assert got == want
+    assert all(len(s) > 0 for s in want)
