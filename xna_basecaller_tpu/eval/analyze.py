@@ -247,10 +247,12 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
                 by_tar[col] *= 100
             by_tar.to_csv(os.path.join(out_dir, out_prefix + "-by_tar.csv"),
                           na_rep="nan", float_format="{:.3f}".format)
-            # per-UB-position breakdown (targets with >1 UB)
-            multi = paf_df[~paf_df.is_pc &
-                           (paf_df["label_per_pos"].apply(len) > 1)]
-            if len(multi):
+            # per-UB-position breakdown: written when any target has >1 UB,
+            # and then covers ALL XNA rows (reference analyze_paf.py:822-834
+            # gates on label_per_pos.apply(len).max() > 1 but aggregates the
+            # whole non-PC frame)
+            multi = paf_df[~paf_df.is_pc]
+            if len(multi) and multi["label_per_pos"].apply(len).max() > 1:
                 rows = []
                 for (strand, tid), grp in multi.groupby(
                         ["strand", "target_id"]):
