@@ -262,3 +262,59 @@ def test_analyze_paf_per_read_csv(tmp_path, poc):
     df = pd.read_csv(tmp_path / "results_summ-per_read.csv")
     assert len(df) == 2
     assert "ub_acc" in df.columns and "read_id" in df.columns
+
+
+def test_tar_reads_count_and_missing_templates(tmp_path, poc):
+    """min_reads_count reporting + missing-template file (reference
+    analyze_paf.py:694-706, utils.get_tar_reads_count:1546)."""
+    import pandas as pd
+    from xna_basecaller_tpu.eval.analyze import tar_reads_count
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    reads = _make_reads(poc, ["XNA01", "XNA02"], n_per=2)
+    records = align_fastq(reads, poc.targets)
+    paf_df = pd.DataFrame(records)
+    paf_df["strand"] = paf_df["strand"].replace({"+": "F", "-": "R"})
+    cnt = tar_reads_count(paf_df, poc.targets_id)
+    assert len(cnt) == len(poc.targets_id)  # zero-filled over all templates
+    assert cnt.set_index("target_id").loc["XNA01", "n_read"] == 2
+    assert cnt.set_index("target_id").loc["XNA03", "n_read"] == 0
+
+    analyze_paf("POC", records, reads, min_reads_count=0,
+                out_dir=str(tmp_path), log=lambda *a: None)
+    missing = (tmp_path / "results_summ-missing_templates.txt").read_text()
+    ids = missing.split()
+    assert "XNA03" in ids and "XNA01" not in ids
+
+
+def test_analyze_paf_extras(tmp_path, poc):
+    """targets_list / include_list filters, debug cap, q-scores."""
+    reads = _make_reads(poc, ["XNA01", "XNA02"], n_per=1)
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    records = align_fastq(reads, poc.targets)
+
+    s = analyze_paf("POC", records, reads, targets_list=["XNA01"],
+                    log=lambda *a: None)
+    assert s["num_aligned_reads"] == 2
+
+    s = analyze_paf("POC", records, reads,
+                    include_list=[r for r in reads if r.endswith("f0")],
+                    log=lambda *a: None)
+    assert s["num_aligned_reads"] == 2
+
+    quals = {rid: np.full(len(seq), 30) for rid, seq in reads.items()}
+    s = analyze_paf("POC", records, reads, read_quals=quals,
+                    log=lambda *a: None)
+    assert s["mean_q_score"] == pytest.approx(30.0)
+
+
+def test_confusion_matrix_perfect_reads(tmp_path, poc):
+    """Error-free reads produce a diagonal confusion matrix."""
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    reads = _make_reads(poc, ["XNA01"], n_per=1)
+    records = align_fastq(reads, poc.targets)
+    analyze_paf("POC", records, reads, save_confusion_matrix=True,
+                out_dir=str(tmp_path), log=lambda *a: None)
+    cm = np.load(tmp_path / "results_summ-confusion_matrix.npy")
+    assert cm.shape == (6, 7)
+    off_diag = cm.sum() - np.trace(cm[:, :6])
+    assert off_diag == 0 and cm.sum() > 0

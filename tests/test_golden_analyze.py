@@ -90,7 +90,8 @@ def golden(tmp_path_factory):
     env["HOME"] = str(tmp)
     proc = subprocess.run(
         [sys.executable, os.path.join(BIO_STUB, "run_ref_analyze.py"),
-         "POC", paf_path, "-p", "-D", "-d", "5", "-R", fq_path],
+         "POC", paf_path, "-p", "-D", "-d", "5", "-R", fq_path,
+         "--save_confusion_matrix"],
         cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
     want = pd.read_csv(str(tmp / "results_summ-POC-golden.csv"))
@@ -100,7 +101,7 @@ def golden(tmp_path_factory):
     got = analyze.analyze_paf(
         "POC", ref_align.read_paf(paf_path), reads, max_bc_dist=5,
         max_dist=0, out_dir=out_dir, out_prefix="results_summ-POC-golden",
-        log=lambda *a: None)
+        save_confusion_matrix=True, log=lambda *a: None)
     return want, got, tmp, proc.stdout
 
 
@@ -123,6 +124,18 @@ def test_summary_metrics_match(golden, col):
     w = float(want[col].iloc[0])
     g = float(got[col])
     assert np.isclose(g, w, atol=2e-3), f"{col}: ours={g} ref={w}"
+
+
+def test_confusion_matrix_matches(golden):
+    """Summed base confusion matrix (reference analyze_paf.py:520-537,
+    728-737): exact integer equality."""
+    want, got, tmp, _ = golden
+    ref_cm = np.load(tmp / "results_summ-POC-golden-confusion_matrix.npy")
+    our_cm = np.load(
+        tmp / "ours" / "results_summ-POC-golden-confusion_matrix.npy")
+    assert ref_cm.shape == our_cm.shape == (6, 7)
+    np.testing.assert_array_equal(our_cm, ref_cm)
+    assert ref_cm.sum() > 0
 
 
 def test_by_tar_pos_matches(golden):

@@ -23,6 +23,7 @@ CODE = {c: i for i, c in enumerate(BASES)}
 # mirroring reference src/misc/utils.py:26-59 reverse-complement behaviour.
 COMPLEMENT = {
     "N": "N", "A": "T", "C": "G", "G": "C", "T": "A", "X": "Y", "Y": "X",
+    "-": "-", "*": "*",  # alignment-state chars pass through (utils.py:28)
 }
 
 _COMP_CODES = np.array([CODE[COMPLEMENT[c]] for c in BASES], dtype=np.uint8)

@@ -56,6 +56,22 @@ def read_fastq(path: str) -> dict[str, str]:
     return out
 
 
+def read_fastq_quals(path: str) -> dict[str, np.ndarray]:
+    """read_id -> phred quality array (reference data_io.get_read_qual)."""
+    out = {}
+    with open(path) as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                break
+            fh.readline()
+            fh.readline()
+            qual = fh.readline().strip()
+            out[h[1:].split()[0].strip()] = (
+                np.frombuffer(qual.encode(), np.uint8).astype(np.int32) - 33)
+    return out
+
+
 def _cigar_from_cs(cs: str) -> str:
     from xna_basecaller_tpu.eval.cs_align import parse_cs
     parts = []

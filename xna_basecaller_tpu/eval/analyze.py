@@ -75,6 +75,42 @@ def add_barcode_info(paf_df: pd.DataFrame, refs: XnaRefs,
     return pd.concat([paf_df, bc_df], axis=1)
 
 
+def tar_reads_count(paf_df: pd.DataFrame, targets_id,
+                    agg_min_strands: bool = True) -> pd.DataFrame:
+    """Per-(target, strand) read counts, zero-filled over the full template
+    list; with agg_min_strands keep each target's minimum-count strand
+    (reference utils.get_tar_reads_count:1546-1628)."""
+    counts = paf_df.groupby(["target_id", "strand"]).size().rename("n_read")
+    full = pd.DataFrame({
+        "target_id": 2 * list(targets_id),
+        "strand": len(targets_id) * ["F"] + len(targets_id) * ["R"],
+        "n_read": 0,
+    }).set_index(["target_id", "strand"])
+    full.update(counts.to_frame())
+    full = full.astype(int).reset_index().sort_values(
+        ["target_id", "n_read"])
+    if agg_min_strands:
+        full = full.drop_duplicates("target_id", ignore_index=True)
+    return full
+
+
+def read_confusion_matrix(errors_tm: np.ndarray, target: str,
+                          strand: str) -> np.ndarray:
+    """Per-read base confusion counts over the full-length aligned read
+    (reference analyze_paf.compute_read_confusion_matrix:520-536): rows are
+    the true bases A,T,C,G,X,Y, columns the called A,T,C,G,X,Y,- (deletion).
+    """
+    from sklearn.metrics import confusion_matrix as _cm
+
+    tm = "".join(errors_tm)
+    if strand in ("-", "R"):
+        tm = reverse_complement_str(tm)
+        target = reverse_complement_str(target)
+    cm = _cm(list(target), list(tm),
+             labels=["A", "T", "C", "G", "X", "Y", "-"])
+    return cm[:-1, :]  # drop the '-' true-base row
+
+
 def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
                 max_bc_dist: int | None = None, ubs: str = "XY",
                 only_strand: str | None = None, max_dist: int = 4,
@@ -82,19 +118,44 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
                 refs: XnaRefs | None = None, polish: bool = True,
                 save_detailed_perf: bool = True,
                 save_perf_per_read: bool = False,
+                targets_list=None, include_list=None,
+                min_reads_count: int | None = None, debug: bool = False,
+                save_confusion_matrix: bool = False,
+                read_quals: dict | None = None,
                 log=print) -> dict:
     """Full evaluation; returns the summary dict and writes the CSV family.
 
     paf_records: list of PAF record dicts (eval.ref_align format).
     reads: read_id -> basecalled sequence (the fastq content).
+    targets_list / include_list: optional target-id / read-id whitelists
+    (reference analyze_paf.py:605-619); min_reads_count reports templates
+    with insufficient reads and writes ``{prefix}-missing_templates.txt``
+    (reference analyze_paf.py:694-706); debug analyzes only the first 1000
+    alignments (analyze_paf.py:580-584); save_confusion_matrix writes the
+    summed base confusion matrix as ``{prefix}-confusion_matrix.npy``
+    (analyze_paf.py:728-737); read_quals (read_id -> phred array) adds
+    mapped-region mean q-scores (analyze_paf.py:667-680).
     """
     ref_name = EXP_REF_MAP.get(exp_name, exp_name)
     refs = refs or XnaRefs(ref_name)
     paf_df = pd.DataFrame(list(paf_records))
     n_total_reads = max(len(reads), 1)
+    if debug and len(paf_df) > 1000:
+        log("[Warning] debug: using the first 1000 alignments")
+        paf_df = paf_df.head(1000).copy()
     align_cnt = paf_df["read_id"].nunique() if len(paf_df) else 0
     log(f"* paf contains {align_cnt:,d} reads ({len(paf_df):,d} alignments)")
 
+    if len(paf_df) == 0:
+        return {"num_aligned_reads": 0}
+    if targets_list is not None:
+        paf_df = paf_df[paf_df["target_id"].isin(set(targets_list))]
+        paf_df = paf_df.reset_index(drop=True)
+        log(f"* after targets_list filter: {len(paf_df):,d} alignments")
+    if include_list is not None:
+        paf_df = paf_df[paf_df["read_id"].isin(set(include_list))]
+        paf_df = paf_df.reset_index(drop=True)
+        log(f"* after include_list filter: {len(paf_df):,d} alignments")
     if len(paf_df) == 0:
         return {"num_aligned_reads": 0}
     paf_df["is_pc"] = paf_df["target_id"].str.startswith("PC")
@@ -126,10 +187,32 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
     if len(paf_df) == 0:
         return {"num_aligned_reads": 0}
 
+    if min_reads_count is not None:
+        count_df = tar_reads_count(paf_df, refs.targets_id)
+        missing = count_df[count_df["n_read"] <= min_reads_count]
+        log(f"Number of missing templates (<= {min_reads_count} reads "
+            f"F and/or R): {len(missing)}")
+        if out_dir is not None and len(missing):
+            os.makedirs(out_dir, exist_ok=True)
+            missing["target_id"].to_csv(
+                os.path.join(out_dir,
+                             out_prefix + "-missing_templates.txt"),
+                header=False, index=False)
+
+    if read_quals is not None:
+        paf_df["mean_q_score"] = [
+            float(np.mean(np.asarray(read_quals[r["read_id"]])
+                          [r["read_start"]:r["read_end"]]))
+            for _, r in paf_df.iterrows()]
+        with pd.option_context("display.float_format", "{:.1f}".format):
+            log(paf_df.groupby("strand")["mean_q_score"].describe(
+                percentiles=[.01, .05, .10, .25]))
+
     # per-read errors + UB metrics
     errors_by_key: dict[tuple, list[np.ndarray]] = {}
     metric_rows = []
     n_match_est = []
+    cm_total = np.zeros((6, 7), np.int64) if save_confusion_matrix else None
     for _, rec in paf_df.iterrows():
         tid = rec["target_id"]
         target = refs.targets[tid]
@@ -142,6 +225,8 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
         metric_rows.append(m)
         n_match_est.append(len(errors) - errors.sum())
         errors_by_key.setdefault((tid, rec["strand"]), []).append(errors)
+        if cm_total is not None:
+            cm_total += read_confusion_matrix(tm, target, rec["strand"])
 
     metrics_df = pd.DataFrame(metric_rows, index=paf_df.index)
     paf_df = pd.concat([paf_df, metrics_df], axis=1)
@@ -219,9 +304,15 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
         / (beta ** 2 * precision + recall)
         if precision + recall > 0 else 0.0)
     summary.update(true_pos=tp, false_neg=fn, false_pos=fp, true_neg=tn)
+    if read_quals is not None:
+        summary["mean_q_score"] = float(paf_df["mean_q_score"].mean())
 
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
+        if cm_total is not None:
+            np.save(os.path.join(out_dir,
+                                 out_prefix + "-confusion_matrix.npy"),
+                    cm_total)
         if save_perf_per_read:
             per_read_cols = [c for c in (
                 "read_id", "target_id", "strand", "type", "percent_match",

@@ -28,6 +28,10 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
                reads_dir: str | None = None, read_ids: str | None = None,
                ubs: str = "XY", max_bc_dist: int | None = None,
                weights: int | None = None, n_proc: int = 0,
+               targets_list_file: str | None = None,
+               min_reads_count: int | None = None, debug: bool = False,
+               save_confusion_matrix: bool = False,
+               q_scores: bool = False,
                log=print) -> dict:
     """Run the evaluation chain for one experiment/split; returns the
     summary dict and writes CSVs into ``basecalls_dir``."""
@@ -75,8 +79,19 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
     # 3) analysis (reference eval_model.sh:150-177)
     if max_bc_dist is None:
         max_bc_dist = MAX_BC_DIST.get(ref_name, 5)
+    targets_list = None
+    if targets_list_file:
+        with open(targets_list_file) as fh:
+            targets_list = [ln.strip() for ln in fh if ln.strip()]
+    read_quals = None
+    if q_scores:
+        from xna_basecaller_tpu.data.writers import read_fastq_quals
+        read_quals = read_fastq_quals(fastq_path)
     summary = analyze_paf(
         exp, records, reads, max_bc_dist=max_bc_dist, ubs=ubs,
         out_dir=basecalls_dir, out_prefix=f"results_summ-{exp}-{split}",
-        refs=refs, log=log)
+        refs=refs, targets_list=targets_list,
+        min_reads_count=min_reads_count, debug=debug,
+        save_confusion_matrix=save_confusion_matrix,
+        read_quals=read_quals, log=log)
     return summary
