@@ -82,13 +82,21 @@ def shard_reads(reads, process_id: int | None = None,
 
 
 def all_gather_metrics(values: dict[str, float], mesh) -> dict[str, float]:
-    """Mean-reduce scalar metrics across hosts (eval fan-in)."""
+    """Mean-reduce scalar metrics across hosts (eval fan-in).
+
+    Each host replicates its metric row over its local devices, so the
+    global [n_devices, K] array is evenly device-sharded regardless of the
+    process/device ratio; the device-axis mean then equals the process mean
+    (every process contributes local_device_count equal rows).
+    """
     if jax.process_count() == 1:
         return dict(values)
     import jax.numpy as jnp
 
     keys = sorted(values)
-    local = np.asarray([[values[k] for k in keys]], np.float32)
+    local = np.tile(
+        np.asarray([[values[k] for k in keys]], np.float32),
+        (jax.local_device_count(), 1))
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     arr = jax.make_array_from_process_local_data(sharding, local)
     mean = jax.jit(
