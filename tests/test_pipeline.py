@@ -150,3 +150,122 @@ def test_decode_qual_confident_on_boosted_scores():
     probs = np.asarray(probs)[0]
     assert np.asarray(labels)[0].tolist() == [0] * T
     assert probs.min() > 0.95  # certain path -> posterior ~1
+
+
+def test_ordered_thread_map_preserves_order():
+    import random
+    import time
+    from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
+
+    rng = random.Random(0)
+
+    def slow_square(x):
+        time.sleep(rng.random() * 0.01)  # jitter worker completion order
+        return x * x
+
+    out = list(ordered_thread_map(slow_square, range(40), n_workers=4))
+    assert out == [x * x for x in range(40)]
+
+
+def test_ordered_thread_map_inline_and_exceptions():
+    import pytest
+    from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
+
+    assert list(ordered_thread_map(str, range(3), n_workers=0)) == \
+        ["0", "1", "2"]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("x5")
+        return x
+
+    with pytest.raises(ValueError):
+        list(ordered_thread_map(boom, range(20), n_workers=3))
+
+
+def test_ordered_thread_map_cancel():
+    import threading
+    from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
+
+    cancel = threading.Event()
+    seen = []
+
+    def gen():
+        for i in range(1000):
+            if i == 10:
+                cancel.set()
+            yield i
+
+    out = list(ordered_thread_map(seen.append or (lambda x: x),
+                                  gen(), n_workers=2, cancel=cancel))
+    # dispatcher stops soon after the cancel flag; far fewer than 1000
+    assert len(out) < 100
+
+
+def test_ordered_process_map():
+    from xna_basecaller_tpu.utils.pipeline import ordered_process_map
+
+    out = list(ordered_process_map(_square_for_pmap, range(25),
+                                   n_workers=3))
+    assert out == [x * x for x in range(25)]
+    assert list(ordered_process_map(_square_for_pmap, range(4),
+                                    n_workers=0)) == [0, 1, 4, 9]
+
+
+def _square_for_pmap(x):
+    return x * x
+
+
+def test_cancel_on_sigint_sets_event():
+    import os
+    import signal
+    from xna_basecaller_tpu.utils.pipeline import cancel_on_sigint
+
+    previous = signal.getsignal(signal.SIGINT)
+    try:
+        ev = cancel_on_sigint()
+        assert not ev.is_set()
+        try:
+            os.kill(os.getpid(), signal.SIGINT)
+        except KeyboardInterrupt:
+            pass
+        # handler chains to the previous handler (KeyboardInterrupt); the
+        # event must be set regardless
+        assert ev.is_set()
+    finally:
+        signal.signal(signal.SIGINT, previous)
+
+
+def test_basecall_with_cancel_stops_early():
+    """A set cancel event stops the read producer; already-admitted reads
+    still complete (clean shutdown, no hang)."""
+    import threading
+    import numpy as np
+    import jax
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.infer.basecall import basecall
+
+    cfg = ModelConfig(state_len=2, labels=tuple("NACGT"),
+                      encoder=EncoderConfig(features=16, num_rnn_layers=2,
+                                            winlen=9, second_conv_size=8))
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    cancel = threading.Event()
+
+    class R:
+        def __init__(self, i):
+            self.read_id = f"r{i}"
+            self.signal = np.random.default_rng(i).normal(
+                size=500).astype(np.float32)
+
+    def reads():
+        for i in range(50):
+            if i == 3:
+                cancel.set()
+            yield R(i)
+
+    out = list(basecall(model, params, reads(), chunksize=400, overlap=100,
+                        batchsize=4, cancel=cancel))
+    assert 0 < len(out) < 50
+    assert all(isinstance(attrs["sequence"], str) for _, attrs in out)

@@ -44,9 +44,15 @@ def main(args):
             read_ids = {line.strip().split()[0]
                         for line in fh if line.strip()}
 
+    # Ctrl-C sets the cancel event: read producers drain, the pipeline
+    # finishes in-flight batches and shuts down in order (reference
+    # multiprocessing.process_cancel + fast5.py:295-296).
+    from xna_basecaller_tpu.utils.pipeline import cancel_on_sigint
+    cancel = cancel_on_sigint()
+
     reads = get_reads(
         args.reads_directory, read_ids=read_ids, skip=args.skip,
-        n_proc=8, recursive=args.recursive)
+        n_proc=8, recursive=args.recursive, cancel=cancel)
     if args.max_reads:
         reads = itertools.islice(reads, args.max_reads)
 
@@ -90,7 +96,7 @@ def main(args):
                 model, params, reads, chunksize=chunksize,
                 overlap=cfg.basecaller.overlap,
                 batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
-                qscores=args.qscores):
+                qscores=args.qscores, cancel=cancel):
             n_reads += 1
             n_samples += len(read.signal)
             seq, qstring = attrs["sequence"], attrs["qstring"]

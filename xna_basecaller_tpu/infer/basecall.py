@@ -32,7 +32,9 @@ import numpy as np
 
 from xna_basecaller_tpu.data import chunkops
 from xna_basecaller_tpu.ops import crf as crf_ops
-from xna_basecaller_tpu.utils.pipeline import thread_iter
+from xna_basecaller_tpu.utils.pipeline import (
+    ordered_thread_map, thread_iter,
+)
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
@@ -101,13 +103,18 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              overlap: int = 500, batchsize: int = 384,
              reverse: bool = False, compute_dtype=jnp.bfloat16,
              legacy_char_stitch: bool = False,
-             qscores: bool = False) -> Iterator:
+             qscores: bool = False, cancel=None,
+             stitch_workers: int = 4) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
     ``reads`` yield objects with ``.signal`` (1-D float32) and ``.read_id``.
     ``qscores=True`` emits real per-base qualities from the Viterbi edge
     posteriors (the reference's UB path only has dummy qualities).
+    ``cancel`` (a threading.Event, e.g. pipeline.cancel_on_sigint()) stops
+    the read producer early for a clean Ctrl-C shutdown; the decode-side
+    host work (stitch + string building) runs on ``stitch_workers`` ordered
+    threads (reference ThreadMap, multiprocessing.py:231-266).
     """
     stride = model.stride
     qbias = model.cfg.qscore.bias
@@ -115,6 +122,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
 
     def gen_chunks():
         for read in reads:
+            if cancel is not None and cancel.is_set():
+                return
             sig = np.asarray(read.signal, dtype=np.float32)
             yield ((read, 0, len(sig)),
                    chunkops.chunk(sig, chunksize, overlap))
@@ -160,40 +169,44 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
 
     scores = thread_iter(gen_fetch())
 
-    def gen_results():
-        for (read, start, end), attrs in chunkops.unbatchify(scores):
-            path = attrs["path"]  # [n_chunks, T']
-            if legacy_char_stitch:
-                packed = _left_pack(path)
-                stitched = chunkops.stitch(
-                    packed, chunksize, overlap, end - start, stride,
-                    reverse=reverse)
-            else:
-                stitched = chunkops.stitch(
-                    path, chunksize, overlap, end - start, stride,
-                    reverse=reverse)
-            seq = model.seqdist.path_to_str(stitched)
-            moves = (np.asarray(stitched) != 0)
-            if "prob" in attrs:
-                from xna_basecaller_tpu.data.writers import phred
-                probs = chunkops.stitch(
-                    attrs["prob"], chunksize, overlap, end - start, stride,
-                    reverse=reverse)
-                base_probs = np.asarray(probs)[moves]
-                qstring = "".join(
-                    phred(p, scale=qscale, bias=qbias) for p in base_probs)
-            else:
-                # Parity with the reference UB path's dummy mid-scale
-                # qstring (crf/basecall.py:67).
-                qstring = "O" * len(seq)
-            yield read, {
-                "sequence": seq,
-                "qstring": qstring,
-                "moves": moves,
-                "stride": stride,
-            }
+    def finish(item):
+        (read, start, end), attrs = item
+        path = attrs["path"]  # [n_chunks, T']
+        if legacy_char_stitch:
+            packed = _left_pack(path)
+            stitched = chunkops.stitch(
+                packed, chunksize, overlap, end - start, stride,
+                reverse=reverse)
+        else:
+            stitched = chunkops.stitch(
+                path, chunksize, overlap, end - start, stride,
+                reverse=reverse)
+        seq = model.seqdist.path_to_str(stitched)
+        moves = (np.asarray(stitched) != 0)
+        if "prob" in attrs:
+            from xna_basecaller_tpu.data.writers import phred
+            probs = chunkops.stitch(
+                attrs["prob"], chunksize, overlap, end - start, stride,
+                reverse=reverse)
+            base_probs = np.asarray(probs)[moves]
+            qstring = "".join(
+                phred(p, scale=qscale, bias=qbias) for p in base_probs)
+        else:
+            # Parity with the reference UB path's dummy mid-scale
+            # qstring (crf/basecall.py:67).
+            qstring = "O" * len(seq)
+        return read, {
+            "sequence": seq,
+            "qstring": qstring,
+            "moves": moves,
+            "stride": stride,
+        }
 
-    return thread_iter(gen_results())
+    # NOTE: no cancel here — on Ctrl-C the read producer stops, but reads
+    # already admitted to the pipeline drain through and are still emitted.
+    return ordered_thread_map(
+        finish, chunkops.unbatchify(scores), n_workers=stitch_workers,
+        maxsize=4)
 
 
 def _left_pack(paths: np.ndarray) -> np.ndarray:
