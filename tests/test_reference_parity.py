@@ -374,3 +374,49 @@ def test_flagship_decode_parity(ref):
         jscores + jnp.asarray(pert.numpy()))
     assert got == want
     assert all(len(s) > 0 for s in want)
+
+
+# ---------------------------------------------------------------------------
+# signal-processing parity: trim / med_mad / norm_by_noisiest_section
+
+
+@pytest.fixture(scope="module")
+def ref_fast5():
+    """Import the reference fast5.py (pure signal functions; the
+    ont-fast5-api reader import is stubbed out)."""
+    if "ont_fast5_api.fast5_interface" not in sys.modules:
+        pkg = types.ModuleType("ont_fast5_api")
+        iface = types.ModuleType("ont_fast5_api.fast5_interface")
+        iface.get_fast5_file = None
+        pkg.fast5_interface = iface
+        sys.modules["ont_fast5_api"] = pkg
+        sys.modules["ont_fast5_api.fast5_interface"] = iface
+    _install_reference_modules()  # provides the synthetic bonito package
+    return importlib.import_module("bonito.fast5")
+
+
+def test_trim_parity(ref_fast5):
+    from xna_basecaller_tpu.data import fast5 as ours
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        n = int(rng.integers(200, 9000))
+        sig = rng.normal(size=n).astype(np.float32)
+        # inject an adapter-like leading peak region on most reads
+        if i % 3:
+            k = int(rng.integers(50, 400))
+            sig[:k] += rng.uniform(3, 8)
+        assert ours.trim(sig) == ref_fast5.trim(sig), i
+
+
+def test_med_mad_and_norm_parity(ref_fast5):
+    from xna_basecaller_tpu.data import fast5 as ours
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        sig = rng.normal(size=int(rng.integers(150, 5000))) \
+            .astype(np.float32)
+        sig[i * 10: i * 10 + 200] *= rng.uniform(2, 5)  # noisy section
+        np.testing.assert_allclose(ours.med_mad(sig),
+                                   ref_fast5.med_mad(sig), rtol=1e-6)
+        np.testing.assert_allclose(
+            ours.norm_by_noisiest_section(sig),
+            ref_fast5.norm_by_noisiest_section(sig), rtol=1e-5, atol=1e-5)

@@ -10,9 +10,6 @@ fixed-shape device batches.
 
 from __future__ import annotations
 
-from itertools import groupby
-from operator import itemgetter
-
 import numpy as np
 
 
@@ -86,43 +83,56 @@ def stitch(chunks, chunksize: int, overlap: int, length: int, stride: int,
     ])
 
 
+def _batch_pieces(items, batchsize: int):
+    """Flatten (key, rows) pairs into pieces that never straddle a batch
+    boundary, tagging each with its (start, end) slot in the batch."""
+    pos = 0
+    for key, rows in items:
+        taken = 0
+        while taken < len(rows):
+            take = min(batchsize - pos, len(rows) - taken)
+            yield key, rows[taken:taken + take], pos, pos + take
+            taken += take
+            pos = (pos + take) % batchsize
+
+
 def batchify(items, batchsize: int):
     """Re-pack (key, array) pairs into fixed-size batches.
 
-    Yields (sub_batches, batch) where sub_batches is a list of
-    (key, (start, end)) locating each key's rows inside the batch
-    (reference util.py:191-210).  The final short batch is yielded as-is;
-    callers pad it to the fixed shape before hitting the device.
+    Yields (sub_batches, batch) where sub_batches is a tuple of
+    (key, (start, end)) locating each key's rows inside the batch — the
+    same output contract as reference util.py:191-210 (decode parity
+    depends on the batch layout).  The final short batch is yielded
+    as-is; callers pad it to the fixed shape before hitting the device.
     """
-    stack, pos = [], 0
-    for k, v in items:
-        n = len(v)
-        breaks = range(batchsize - pos, n, batchsize)
-        for start, end in zip([0, *breaks], [*breaks, n]):
-            sub = v[start:end]
-            stack.append(((k, (pos, pos + end - start)), sub))
-            if pos + end - start == batchsize:
-                ks, vs = zip(*stack)
-                yield ks, _concat(list(vs), 0)
-                stack, pos = [], 0
-            else:
-                pos += end - start
-    if len(stack):
-        ks, vs = zip(*stack)
-        yield ks, _concat(list(vs), 0)
+    keys: list = []
+    parts: list = []
+    for key, piece, start, end in _batch_pieces(items, batchsize):
+        keys.append((key, (start, end)))
+        parts.append(piece)
+        if end == batchsize:
+            yield tuple(keys), _concat(parts, 0)
+            keys, parts = [], []
+    if parts:
+        yield tuple(keys), _concat(parts, 0)
 
 
 def unbatchify(batches):
-    """Reassemble per-read results from batches (reference util.py:213-225)."""
-    flat = (
-        (k, _select(v, start, end))
-        for sub_batches, v in batches
-        for k, (start, end) in sub_batches
-    )
-    return (
-        (k, _concat([v for _, v in group], 0))
-        for k, group in groupby(flat, itemgetter(0))
-    )
+    """Reassemble per-key results from batches by merging consecutive
+    pieces of the same key (output contract of reference util.py:213-225)."""
+    current = None
+    acc: list = []
+    for sub_batches, batch in batches:
+        for key, (start, end) in sub_batches:
+            piece = _select(batch, start, end)
+            if key == current:
+                acc.append(piece)
+                continue
+            if current is not None:
+                yield current, _concat(acc, 0)
+            current, acc = key, [piece]
+    if current is not None:
+        yield current, _concat(acc, 0)
 
 
 def _select(v, start, end):

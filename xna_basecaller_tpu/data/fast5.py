@@ -33,35 +33,48 @@ def med_mad(x, factor: float = MAD_FACTOR):
 
 def trim(signal, window_size: int = 40, threshold_factor: float = 2.4,
          min_elements: int = 3):
-    """Adapter/stall trimming by leading-peak detection
-    (reference fast5.py:149-171)."""
+    """Adapter/stall trimming by leading-peak detection, vectorised.
+
+    Behaviour contract (reference fast5.py:149-171): with the threshold
+    set from the trailing med/MAD, the trim point is the end of the first
+    window at-or-after the first peak window whose final sample has
+    dropped back below threshold; no peak -> keep everything past the
+    fixed 10-sample prefix.
+    """
     min_trim = 10
-    signal = signal[min_trim:]
-    med, mad = med_mad(signal[-(window_size * 100):])
+    sig = signal[min_trim:]
+    med, mad = med_mad(sig[-(window_size * 100):])
     threshold = med + mad * threshold_factor
-    num_windows = len(signal) // window_size
-    seen_peak = False
-    for pos in range(num_windows):
-        start = pos * window_size
-        end = start + window_size
-        window = signal[start:end]
-        if len(window[window > threshold]) > min_elements or seen_peak:
-            seen_peak = True
-            if window[-1] > threshold:
-                continue
-            return min(end + min_trim, len(signal)), len(signal)
-    return min_trim, len(signal)
+    nw = len(sig) // window_size
+    if nw == 0:
+        return min_trim, len(sig)
+    windows = sig[: nw * window_size].reshape(nw, window_size)
+    above = windows > threshold
+    peaked = np.cumsum(above.sum(axis=1) > min_elements) > 0
+    settled = np.flatnonzero(peaked & ~above[:, -1])
+    if settled.size == 0:
+        return min_trim, len(sig)
+    end = int(settled[0] + 1) * window_size
+    return min(end + min_trim, len(sig)), len(sig)
 
 
 def norm_by_noisiest_section(signal, samples: int = 100,
                              threshold: float = 6.0):
-    """Normalise by the longest high-noise region (reference
-    fast5.py:183-204); used for short (<8000 sample) reads."""
+    """Normalise by the longest high-noise region; used for short
+    (<8000 sample) reads (behaviour of reference fast5.py:183-204).
+
+    A 0/1 noise mask per fixed window (std above 1/threshold of the
+    global std) feeds scipy find_peaks; the widest plateau supplies the
+    med/MAD normalisation statistics.
+    """
     threshold = signal.std() / threshold
-    noise = np.ones(signal.shape)
-    for idx in np.arange(signal.shape[0] // samples):
-        window = slice(idx * samples, (idx + 1) * samples)
-        noise[window] = np.where(signal[window].std() > threshold, 1, 0)
+    n = len(signal)
+    nw = n // samples
+    noise = np.ones(n)
+    if nw:
+        stds = signal[: nw * samples].reshape(nw, samples).std(axis=1)
+        noise[: nw * samples] = np.repeat(
+            (stds > threshold).astype(float), samples)
     noise[0] = 0
     noise[-1] = 0
     from scipy.signal import find_peaks
