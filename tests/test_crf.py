@@ -341,3 +341,62 @@ def test_ctc_viterbi_alignments_valid_path():
                 picked[b] += stay[t, b, p[t]]
     lz_max = np.asarray(crf.ctc_lattice_logz(stay, move, lengths, "max"))
     np.testing.assert_allclose(picked, lz_max, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_cols_vjp_matches_scatter():
+    """The one-hot-matmul backward of _gather_cols must equal the
+    scatter-add transpose of take_along_axis, incl. duplicate columns."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    T, N, C, n = 6, 3, 10, 7
+    scores = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, C, size=(N, n)))  # duplicates likely
+    ct = jnp.asarray(rng.normal(size=(T, N, n)).astype(np.float32))
+
+    def ref_gather(s):
+        return jnp.take_along_axis(
+            s, jnp.broadcast_to(idx[None], (T, N, n)), axis=2)
+
+    want = jax.vjp(ref_gather, scores)[1](ct)[0]
+    got = jax.vjp(lambda s: crf._gather_cols(s, idx), scores)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ctc_loss_grad_matches_autodiff_scan():
+    """End-to-end loss gradient (normalise + gather + lattice custom VJPs)
+    vs plain autodiff through the reference-shaped computation."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    NB, SL, T, N, L = 4, 2, 10, 3, 8
+    C = (NB + 1) * NB ** SL
+    scores = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(1, NB + 1, size=(N, L)))
+    lengths = jnp.asarray([L, L - 1, L])
+
+    def loss_plain(s):
+        s = s - crf._logz_scan(s, NB, SL, crf.LOG)[:, None] / T
+        zt = jnp.clip(targets - 1, 0, None)
+        n = L - (SL - 1)
+        stay_state = sum(zt[:, i:n + i] * (NB ** (SL - i - 1))
+                         for i in range(SL))
+        stay_idx = stay_state * (NB + 1)
+        move_idx = stay_idx[:, 1:] + zt[:, : n - 1] + 1
+        stay = jnp.take_along_axis(
+            s, jnp.broadcast_to(stay_idx[None], (T, N, n)), axis=2)
+        move = jnp.take_along_axis(
+            s, jnp.broadcast_to(move_idx[None], (T, N, n - 1)), axis=2)
+        lz = crf.ctc_lattice_logz(stay, move, lengths + 1 - SL)
+        return (-(lz / lengths)).mean()
+
+    def loss_ours(s):
+        return crf.ctc_loss(s, targets, lengths, NB, SL)
+
+    np.testing.assert_allclose(float(loss_ours(scores)),
+                               float(loss_plain(scores)), rtol=1e-5)
+    g_want = jax.grad(loss_plain)(scores)
+    g_got = jax.grad(loss_ours)(scores)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-6)

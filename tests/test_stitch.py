@@ -196,3 +196,22 @@ def test_kmer_weight_table_and_position_weights(tmp_path):
     common = w[40:50].max()
     rare = w[23:29].max()
     assert rare > common, (rare, common)
+
+
+def test_permute_transform_window_locality():
+    """Permutation stays within windows and preserves the multiset of
+    values; the padding tail is untouched."""
+    import jax
+    import jax.numpy as jnp
+    from xna_basecaller_tpu.augment.stitch import _permute_transform
+
+    sig = jnp.arange(32, dtype=jnp.float32)
+    out = np.asarray(_permute_transform(jax.random.key(0), sig, 24, 8))
+    # padding (>= valid_len 24) untouched and in place
+    np.testing.assert_array_equal(out[24:], np.arange(24, 32))
+    changed = False
+    for w in range(3):
+        win = out[w * 8:(w + 1) * 8]
+        assert sorted(win.tolist()) == list(range(w * 8, (w + 1) * 8))
+        changed |= not np.array_equal(win, np.arange(w * 8, (w + 1) * 8))
+    assert changed  # at least one window actually permuted

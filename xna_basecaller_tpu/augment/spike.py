@@ -312,7 +312,8 @@ def make_spike_augment(ubs: str = "XY", prop_ubs: float = 0.10,
                        noise_std: float = 1.0,
                        std_dist: str = "truncnorm_shift_1.5_0.5",
                        fully_synth: bool = False, pore_model_path=None,
-                       max_spikes: int = 64):
+                       max_spikes: int = 64, pad: int = 5,
+                       var_prop_ubs: float = 0.0, mix_ubs: bool = True):
     """Build a ChunkDataset-compatible augment(chunks, targets, lengths,
     breakpoints, rng) -> (chunks, targets) closure running on device."""
     pore = load_pore_model(pore_model_path)
@@ -328,9 +329,10 @@ def make_spike_augment(ubs: str = "XY", prop_ubs: float = 0.10,
             jnp.asarray(lengths, jnp.int32),
             jnp.asarray(breakpoints, jnp.int32),
             kmer_means, kmer_stds,
-            prop_ubs=prop_ubs, max_spikes=max_spikes,
+            prop_ubs=prop_ubs, max_spikes=max_spikes, pad=pad,
             std_dist=std_dist, noise_std=noise_std,
-            fully_synth=fully_synth, ub_codes=ub_codes)
+            fully_synth=fully_synth, ub_codes=ub_codes,
+            var_prop_ubs=var_prop_ubs, mix_ubs=mix_ubs)
         return np.asarray(c), np.asarray(t)
 
     return augment

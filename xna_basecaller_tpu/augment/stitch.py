@@ -24,8 +24,8 @@ Documented deviation: length adaptation resamples each k-mer slice to its
 exact local dwell span by linear index mapping (instead of the composite
 boundary-aware interp of prepare_slice_chunk, stitch_chunks.py:241-271) —
 same intent (no cross-k-mer interpolation), simpler fixed shapes.
-The in-window permute transform is not implemented (off by default in the
-reference); the noise transforms are.
+The in-window permute transform (transform_chunk, stitch_chunks.py:294-297)
+and the noise transforms are both implemented device-side.
 """
 
 from __future__ import annotations
@@ -149,15 +149,33 @@ def _noise_transform(key, sig, noise_std: float, noise_mode: str):
     raise ValueError(f"Invalid noise mode = {noise_mode}")
 
 
+def _permute_transform(key, sig, valid_len, win: int):
+    """In-window sample permutation (reference transform_chunk,
+    stitch_chunks.py:294-297): shuffle samples within fixed-size windows
+    of the composed slice, leaving the padding tail in place.  Implemented
+    as one argsort over (window_id, random) sort keys — the reference's
+    array_split uses near-equal window sizes; fixed windows are the
+    fixed-shape equivalent (distributional augmentation, not bit parity).
+    """
+    idx = jnp.arange(sig.shape[0])
+    rand = jax.random.uniform(key, sig.shape)
+    sort_key = jnp.where(idx < valid_len,
+                         (idx // win).astype(jnp.float32) + rand * 0.99,
+                         1e6 + idx.astype(jnp.float32))
+    return sig[jnp.argsort(sort_key)]
+
+
 @partial(jax.jit, static_argnames=("prop_ubs", "max_stitches", "pad",
                                    "cand_sample_size", "ub_codes",
-                                   "noise_std", "noise_mode"))
+                                   "noise_std", "noise_mode",
+                                   "permute_win_size"))
 def stitch_batch(key, chunks, targets, lengths, breakpoints,
                  tbl_signals, tbl_lens, tbl_counts,
                  prop_ubs: float = 0.10, max_stitches: int = 64,
                  pad: int = 5, cand_sample_size: int = 5,
                  ub_codes: tuple = (5, 6), noise_std: float = 0.0,
-                 noise_mode: str = "single", weight_table=None):
+                 noise_mode: str = "single", weight_table=None,
+                 permute_win_size: int = 0):
     """Vectorised per_kmer stitch over a batch; returns
     (chunks', targets', success [B] bool).
 
@@ -171,14 +189,15 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
         return _stitch_one(k, c, t, l, b, tbl_signals, tbl_lens, tbl_counts,
                            prop_ubs, max_stitches, pad, cand_sample_size,
                            ub_codes, noise_std, noise_mode, T,
-                           targets.shape[1], weight_table)
+                           targets.shape[1], weight_table, permute_win_size)
 
     return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
 
 
 def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
                 tbl_counts, prop_ubs, max_stitches, pad, cand_sample_size,
-                ub_codes, noise_std, noise_mode, T, L, weight_table=None):
+                ub_codes, noise_std, noise_mode, T, L, weight_table=None,
+                permute_win_size: int = 0):
     from xna_basecaller_tpu.augment.spike import _choose_positions
 
     k_pos, k_ub, k_cand, k_noise = jax.random.split(key, 4)
@@ -287,6 +306,9 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
             (within * src_len[which]) // jnp.maximum(reps[which], 1),
             0, MAX_KMER_SPAN - 1)
         span_sig = src_sig[which, src_idx]        # [MAX_SPAN]
+        if permute_win_size:
+            span_sig = _permute_transform(
+                noise_keys[i, 1, 0], span_sig, total, permute_win_size)
         if noise_std:
             span_sig = _noise_transform(
                 noise_keys[i, 0, 0], span_sig, noise_std, noise_mode)
@@ -315,7 +337,8 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
                         noise_mode: str = "single",
                         tables: StitchTables | None = None,
                         weighted_pos_pick: bool = False,
-                        weights_dir: str | None = None):
+                        weights_dir: str | None = None,
+                        permute_win_size: int = 0, pad: int = 5):
     """Build a ChunkDataset-compatible augment closure (stitch then done).
 
     Pass a precomputed ``tables`` to skip the ctc-data scan (e.g. in
@@ -343,7 +366,8 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
             sig, lens, counts,
             prop_ubs=prop_ubs, cand_sample_size=cand_sample_size,
             ub_codes=ub_codes, noise_std=noise_std, noise_mode=noise_mode,
-            weight_table=weight_table)
+            weight_table=weight_table, permute_win_size=permute_win_size,
+            pad=pad)
         return np.asarray(c), np.asarray(t)
 
     return augment

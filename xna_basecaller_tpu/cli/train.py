@@ -35,13 +35,19 @@ def main(args):
             augments.append(make_stitch_augment(
                 args.xna_ctc_dir or args.directory, ubs=args.ubs,
                 prop_ubs=args.ub_prop,
-                cand_sample_size=args.cand_sample_size))
+                cand_sample_size=args.cand_sample_size,
+                noise_std=args.stitch_noise_std,
+                noise_mode=args.stitch_noise_mode,
+                weighted_pos_pick=args.weighted_pos_pick,
+                permute_win_size=args.permute_win_size, pad=args.ub_pad))
         if args.spike:
             from xna_basecaller_tpu.augment.spike import make_spike_augment
             augments.append(make_spike_augment(
-                ubs=args.ubs, prop_ubs=args.ub_prop,
+                ubs=args.ubs,
+                prop_ubs=args.synth_prop_ubs or args.ub_prop,
                 noise_std=args.noise_std, std_dist=args.std_dist,
-                fully_synth=args.fully_synth))
+                fully_synth=args.fully_synth, pad=args.ub_pad,
+                var_prop_ubs=args.var_prop_ubs, mix_ubs=not args.no_mix_ubs))
 
         def augment(chunks, targets, lengths, bkps, rng,
                     _augs=tuple(augments)):
@@ -54,7 +60,8 @@ def main(args):
 
     train_data, valid_data = load_datasets(
         args.directory, limit=args.chunks or None, load_bkps=need_bkps,
-        augment=augment, valid_augment=valid_augment)
+        augment=augment, valid_augment=valid_augment,
+        valid_limit=args.valid_chunks or None)
 
     if args.pretrained:
         model, params0, cfg = load_model(
@@ -94,6 +101,7 @@ def main(args):
         model, train_data, valid_data,
         batchsize=args.batch, lr=args.lr, seed=args.seed,
         restore_optim=args.restore_optim,
+        save_optim_every=args.save_optim_every,
         grad_accum_split=args.grad_accum_split,
         frozen_predicate=frozen_predicate,
     )
@@ -117,8 +125,10 @@ def argparser():
     parser.add_argument("--epochs", default=5, type=int)
     parser.add_argument("--batch", default=64, type=int)
     parser.add_argument("--chunks", default=0, type=int)
+    parser.add_argument("--valid-chunks", default=0, type=int)
     parser.add_argument("--grad-accum-split", default=1, type=int)
     parser.add_argument("--restore-optim", action="store_true")
+    parser.add_argument("--save-optim-every", default=10, type=int)
     parser.add_argument("--skip-top", action="store_true",
                         help="drop CRF head weights from pretrained load")
     parser.add_argument("--drop-rate", default=None, type=float)
@@ -134,9 +144,26 @@ def argparser():
     parser.add_argument("--ubs", default="", choices=["", "X", "Y", "XY", "N"],
                         help="unnatural bases to insert")
     parser.add_argument("--ub-prop", default=0.10, type=float)
+    parser.add_argument("--var-prop-ubs", default=0.0, type=float,
+                        help="vary UB proportion per chunk by +-this")
+    parser.add_argument("--no-mix-ubs", action="store_true",
+                        help="one UB letter per chunk instead of mixing")
+    parser.add_argument("--ub-pad", default=5, type=int,
+                        help="min base spacing between inserted UBs")
+    parser.add_argument("--synth-prop-ubs", default=0.0, type=float,
+                        help="separate spike proportion when combining "
+                             "stitch + spike")
     parser.add_argument("--xna-ctc-dir", default=None,
                         help="real-XNA ctc-data for stitch slices")
     parser.add_argument("--cand-sample-size", default=5, type=int)
+    parser.add_argument("--weighted-pos-pick", action="store_true",
+                        help="k-mer-frequency-weighted insert positions")
+    parser.add_argument("--permute-win-size", default=0, type=int,
+                        help="permute stitched samples within windows")
+    parser.add_argument("--stitch-noise-std", default=0.0, type=float)
+    parser.add_argument("--stitch-noise-mode", default="single",
+                        choices=["single", "single_variable", "block_add",
+                                 "block_mult"])
     parser.add_argument("--noise-std", default=1.0, type=float)
     parser.add_argument("--std-dist", default="truncnorm_shift_1.5_0.5")
     parser.add_argument("--fully-synth", action="store_true")

@@ -123,18 +123,23 @@ class ChunkDataset:
 
 def load_datasets(directory: str, limit: int | None = None,
                   load_bkps: bool = False, valid_split: float = 0.97,
-                  augment=None, valid_augment=None):
+                  augment=None, valid_augment=None,
+                  valid_limit: int | None = None):
     """(train, valid) ChunkDatasets with validation/ subdir or split
-    fallback (reference data.py:100-126)."""
+    fallback (reference data.py:100-126); ``valid_limit`` caps the
+    validation set (reference --valid-chunks)."""
     arrays = load_numpy_datasets(directory, limit=limit, load_bkps=load_bkps)
     valid_dir = os.path.join(directory, "validation")
     if os.path.exists(valid_dir):
         train_arrays = arrays
-        valid_arrays = load_numpy_datasets(valid_dir, load_bkps=load_bkps)
+        valid_arrays = load_numpy_datasets(valid_dir, load_bkps=load_bkps,
+                                           limit=valid_limit)
     else:
         split = int(np.floor(len(arrays[0]) * valid_split))
         train_arrays = tuple(x[:split] for x in arrays)
         valid_arrays = tuple(x[split:] for x in arrays)
+        if valid_limit:
+            valid_arrays = tuple(x[:valid_limit] for x in valid_arrays)
     train = ChunkDataset(*train_arrays, augment=augment)
     valid = ChunkDataset(*valid_arrays, augment=valid_augment,
                          epoch_reset_seed=True)

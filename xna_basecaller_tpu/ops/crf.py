@@ -75,6 +75,15 @@ def _logz_scan(scores, n_base: int, state_len: int, semiring: str = LOG):
     return semiring_sum(alpha_t, -1, semiring)
 
 
+def _pallas_log_path(semiring: str) -> bool:
+    """Route the Log-semiring recursions through the Pallas kernels on TPU
+    (the XLA scans relayout per step and dominate the train step)."""
+    if semiring != LOG:
+        return False
+    from xna_basecaller_tpu.utils.platform import is_tpu
+    return is_tpu()
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
     """Partition function of the CRF: [T, N, C] -> [N].
@@ -88,15 +97,24 @@ def logz_fwd(scores, n_base: int, state_len: int, semiring: str = LOG):
     >= 64 — the backward pass runs the explicit backward recursion and
     returns edge posteriors (Log) or the one-hot Viterbi traceback (Max).
     """
-    return _logz_scan(scores, n_base, state_len, semiring)
+    return _logz_fwd_fwd(scores, n_base, state_len, semiring)[0]
 
 
 def _logz_fwd_fwd(scores, n_base, state_len, semiring):
+    if _pallas_log_path(semiring):
+        from xna_basecaller_tpu.ops import crf_pallas
+        _, logz = crf_pallas.forward_scan_pallas(
+            scores.astype(jnp.float32), n_base, state_len)
+        return logz, scores
     return _logz_scan(scores, n_base, state_len, semiring), scores
 
 
 def _logz_fwd_bwd(n_base, state_len, semiring, scores, ct):
-    if semiring == LOG:
+    if _pallas_log_path(semiring):
+        from xna_basecaller_tpu.ops import crf_pallas
+        post = crf_pallas.edge_posteriors_pallas(
+            scores.astype(jnp.float32), n_base, state_len)
+    elif semiring == LOG:
         post = _edge_posteriors(scores, n_base, state_len)
     else:
         post = _viterbi_onehot(scores, n_base, state_len)
@@ -311,6 +329,42 @@ def normalise(scores, n_base: int, state_len: int):
     return scores - (lz / T)[None, :, None]
 
 
+@jax.custom_vjp
+def _gather_cols(scores, idx):
+    """Per-sample column gather: scores [T, N, C], idx [N, n] -> [T, N, n].
+
+    Custom VJP: the natural backward is a scatter-add into [T, N, C],
+    which XLA serialises catastrophically on TPU (~2s at flagship shapes
+    — it dominated the whole train step).  Instead the transpose is the
+    one-hot matmul d_scores[t,n,c] = sum_j ct[t,n,j] * [idx[n,j] == c],
+    which runs on the MXU in ~1ms and handles duplicate columns (repeated
+    k-mers) by summation exactly like scatter-add.
+    """
+    T, N, n = scores.shape[0], idx.shape[0], idx.shape[1]
+    return jnp.take_along_axis(
+        scores, jnp.broadcast_to(idx[None], (T, N, n)), axis=2)
+
+
+def _gather_cols_fwd(scores, idx):
+    # zero-size carrier keeps C and dtype in the residuals as a JAX type
+    proto = jnp.zeros((0, scores.shape[2]), scores.dtype)
+    return _gather_cols(scores, idx), (idx, proto)
+
+
+def _gather_cols_bwd(res, ct):
+    idx, proto = res
+    C, dtype = proto.shape[1], proto.dtype
+    onehot = (idx[:, :, None] == jnp.arange(C)[None, None, :]
+              ).astype(jnp.float32)                       # [N, n, C]
+    d_scores = jnp.einsum("tnj,njc->tnc", ct.astype(jnp.float32), onehot,
+                          preferred_element_type=jnp.float32)
+    return (d_scores.astype(dtype),
+            np.zeros(idx.shape, dtype=jax.dtypes.float0))
+
+
+_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
 def prepare_ctc_scores(scores, targets, n_base: int, state_len: int):
     """Gather stay/move lattice scores for target sequences.
 
@@ -328,11 +382,10 @@ def prepare_ctc_scores(scores, targets, n_base: int, state_len: int):
     )
     stay_idx = stay_state * (n_base + 1)           # [N, n]
     move_idx = stay_idx[:, 1:] + zt[:, : n - 1] + 1  # [N, n-1]
-    stay = jnp.take_along_axis(
-        scores, jnp.broadcast_to(stay_idx[None], (T, N, n)), axis=2)
-    move = jnp.take_along_axis(
-        scores, jnp.broadcast_to(move_idx[None], (T, N, n - 1)), axis=2)
-    return stay, move
+    # one fused gather (and one one-hot matmul on the way back)
+    both = _gather_cols(scores,
+                        jnp.concatenate([stay_idx, move_idx], axis=1))
+    return both[:, :, :n], both[:, :, n:]
 
 
 def _ctc_step(alpha, stay_t, move_t, semiring):
@@ -354,6 +407,9 @@ def ctc_lattice_logz(stay, move, lengths, semiring: str = LOG):
     stays or advances one position, and must end at position length-1.
     """
     T, N, n = stay.shape
+    if _pallas_log_path(semiring):
+        from xna_basecaller_tpu.ops import crf_pallas
+        return crf_pallas.ctc_lattice_logz_pallas(stay, move, lengths)
     alpha = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
 
     def step(alpha, inp):
@@ -382,6 +438,12 @@ def _ctc_lattice_fwd(stay, move, lengths):
 def _ctc_lattice_bwd(res, ct):
     stay, move, lengths = res
     T, N, n = stay.shape
+    if _pallas_log_path(LOG):
+        from xna_basecaller_tpu.ops import crf_pallas
+        d_stay, d_move, _ = crf_pallas.ctc_lattice_grads_pallas(
+            stay, move, lengths, ct)
+        return (d_stay.astype(stay.dtype), d_move.astype(move.dtype),
+                np.zeros(lengths.shape, dtype=jax.dtypes.float0))
     # forward partials
     alpha0 = jnp.full((N, n), _NEG_INF, stay.dtype).at[:, 0].set(0.0)
 

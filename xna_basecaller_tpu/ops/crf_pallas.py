@@ -232,3 +232,191 @@ def decode_paths_pallas(scores, n_base: int, state_len: int,
 
     _, labels = jax.lax.scan(back, j_final, ks, reverse=True)
     return labels.T.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Training path: edge posteriors (the logZ VJP) and the stay/move lattice.
+#
+# The CRF loss gradient is (full-CRF edge posteriors) - (scattered lattice
+# edge posteriors); in XLA both recursions run as lax.scan with per-step
+# relayouts that dominate the train step (~2s of a 2.2s step at flagship
+# batch 128).  These kernels run the same recursions in the transposed
+# [state, N] layout with the carry pinned in VMEM.
+
+
+def _post_kernel(n_base, ns, ms_ref, alpha_ref, beta_ref, logz_ref,
+                 post_ref):
+    """exp(alpha_t[pred] + Ms_t + beta_{t+1} - logZ) for one timestep —
+    the [ns, nb+1, N] block of d logZ / d scores."""
+    ms_t = ms_ref[0]
+    alpha_t = alpha_ref[0]
+    beta_n = beta_ref[0]
+    logz = logz_ref[:]
+    pred_a = _expand_pred_t(alpha_t, n_base, ns)
+    edge = jnp.concatenate([alpha_t[:, None], pred_a], axis=1) + ms_t \
+        + beta_n[:, None, :] - logz[:, None, :]
+    post_ref[0] = jnp.exp(edge)
+
+
+@functools.partial(jax.jit, static_argnames=("n_base", "state_len",
+                                             "interpret"))
+def edge_posteriors_pallas(scores, n_base: int, state_len: int,
+                           interpret: bool = False):
+    """[T, N, C] -> edge posteriors [T, N, C] (gradient of logZ)."""
+    scores = scores.astype(jnp.float32)
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    MsT = _transpose_scores(scores, n_base, ns)
+    alphas, logz = forward_scan_pallas(scores, n_base, state_len,
+                                       interpret=interpret)
+    betas = backward_scan_pallas(scores, n_base, state_len,
+                                 interpret=interpret)
+    post = pl.pallas_call(
+        functools.partial(_post_kernel, n_base, ns),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, ns, n_base + 1, N), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, N), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, N), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ns, n_base + 1, N),
+                               lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, ns, n_base + 1, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(MsT, alphas, betas, logz[None, :])
+    return jnp.transpose(post, (0, 3, 1, 2)).reshape(T, N, C)
+
+
+def _lat_fwd_kernel(ms_ref, alphas_ref, alpha_ref):
+    """One lattice step: alpha'[j] = logaddexp(alpha[j] + stay[j],
+    alpha[j-1] + move[j-1->j]).  ms_ref rows: [0]=stay_t, [1]=move_sh_t
+    (pre-shifted so row j holds the move INTO j; row 0 = -inf)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        # alpha_0: position 0 = one(0), rest = zero(-inf)
+        row = jax.lax.broadcasted_iota(jnp.int32, alpha_ref.shape, 0)
+        alpha_ref[:] = jnp.where(row == 0, 0.0, _NEG).astype(
+            alpha_ref.dtype)
+
+    alpha = alpha_ref[:]                          # [npad, N]
+    alphas_ref[0] = alpha
+    stayed = alpha + ms_ref[0, 0]
+    neg = jnp.full((1,) + alpha.shape[1:], _NEG, alpha.dtype)
+    moved = jnp.concatenate([neg, alpha[:-1]], axis=0) + ms_ref[0, 1]
+    alpha_ref[:] = jnp.logaddexp(stayed, moved)
+
+
+def _lat_bwd_kernel(ms_ref, beta0_ref, betas_ref, beta_ref):
+    """Reverse lattice step: beta[j] = logaddexp(stay[j] + beta'[j],
+    move[j->j+1] + beta'[j+1]); move row layout as in _lat_fwd_kernel."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        beta_ref[:] = beta0_ref[:]
+
+    beta = beta_ref[:]
+    betas_ref[0] = beta
+    stay_term = ms_ref[0, 0] + beta
+    neg = jnp.full((1,) + beta.shape[1:], _NEG, beta.dtype)
+    shifted = jnp.concatenate([(ms_ref[0, 1] + beta)[1:], neg], axis=0)
+    beta_ref[:] = jnp.logaddexp(stay_term, shifted)
+
+
+_NEG = -1e38
+
+
+def _lat_pack(stay, move):
+    """[T, N, n] stay / [T, N, n-1] move -> [T, 2, npad, N] with the move
+    plane pre-shifted down one row (row j = move into position j)."""
+    T, N, n = stay.shape
+    npad = -(-n // 8) * 8
+    stay_t = jnp.transpose(stay, (0, 2, 1))            # [T, n, N]
+    move_t = jnp.transpose(move, (0, 2, 1))            # [T, n-1, N]
+    stay_p = jnp.pad(stay_t, ((0, 0), (0, npad - n), (0, 0)))
+    move_p = jnp.pad(move_t, ((0, 0), (1, npad - n), (0, 0)),
+                     constant_values=_NEG)
+    return jnp.stack([stay_p, move_p], axis=1), npad   # [T, 2, npad, N]
+
+
+def _lat_scan(kernel, packed, extra_inputs=(), extra_specs=(),
+              interpret=False):
+    T, _, npad, N = packed.shape
+    in_specs = [pl.BlockSpec((1, 2, npad, N), lambda t: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM)] + list(extra_specs)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, npad, N), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, N), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, npad, N), jnp.float32),
+            jax.ShapeDtypeStruct((npad, N), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(packed, *extra_inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ctc_lattice_logz_pallas(stay, move, lengths, interpret: bool = False):
+    """Lattice partition function [T,N,n]x[T,N,n-1] -> [N]."""
+    packed, npad = _lat_pack(stay.astype(jnp.float32),
+                             move.astype(jnp.float32))
+    _, alpha_T = _lat_scan(_lat_fwd_kernel, packed, interpret=interpret)
+    idx = jnp.clip(lengths - 1, 0, stay.shape[2] - 1)
+    return jnp.take_along_axis(alpha_T.T, idx[:, None], axis=1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ctc_lattice_grads_pallas(stay, move, lengths, ct,
+                             interpret: bool = False):
+    """(d_stay, d_move, logz): lattice edge posteriors scaled by ct.
+
+    Same recursion pair as ops.crf._ctc_lattice_bwd, with both scans as
+    Pallas kernels and the combine as one fused elementwise pass.
+    """
+    T, N, n = stay.shape
+    packed, npad = _lat_pack(stay.astype(jnp.float32),
+                             move.astype(jnp.float32))
+    alphas, alpha_T = _lat_scan(_lat_fwd_kernel, packed,
+                                interpret=interpret)
+    idx = jnp.clip(lengths - 1, 0, n - 1)
+    logz = jnp.take_along_axis(alpha_T.T, idx[:, None], axis=1)[:, 0]
+
+    pos = jnp.arange(npad)[:, None]                     # [npad, 1]
+    beta0 = jnp.where(pos == idx[None, :], 0.0, _NEG).astype(jnp.float32)
+    betas_rev, _ = _lat_scan(
+        _lat_bwd_kernel, jnp.flip(packed, axis=0), (beta0,),
+        (pl.BlockSpec((npad, N), lambda t: (0, 0),
+                      memory_space=pltpu.VMEM),),
+        interpret=interpret)
+    betas = jnp.flip(betas_rev, axis=0)                 # beta_{t+1} at [t]
+
+    stay_T = packed[:, 0]                               # [T, npad, N]
+    norm = ct[None, None, :]
+    d_stay_T = jnp.exp(alphas + stay_T + betas
+                       - logz[None, None, :]) * norm
+    move_T = packed[:, 1]                               # row j = move into j
+    d_move_sh = jnp.exp(
+        jnp.concatenate([jnp.full((T, 1, N), _NEG), alphas[:, :-1]], 1)
+        + move_T + betas - logz[None, None, :]) * norm
+    d_stay = jnp.transpose(d_stay_T, (0, 2, 1))[:, :, :n]
+    d_move = jnp.transpose(d_move_sh, (0, 2, 1))[:, :, 1:n]
+    return d_stay, d_move, logz
