@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""North-star config #5 end-to-end: bootstrapped SPLICED (stitch) training.
+
+The complete reference train_and_eval.sh semantics (train_and_eval.sh:
+102-162 + run_ub_validation.sh:65-75) driven as one resumable chain:
+
+  A) bootstrap: spike-XY-train a base model on simulated DNA ctc-data
+  B) bootstrap data (the reference's --save-ctc loop, io.py:448-579):
+     simulate library reads, basecall them with (A), align to the refdb,
+     and keep accurate chunks as NEW ctc-data — one XNA set (stitch slice
+     source, --ub-only) and one DNA set (training base); then DTW
+     segmentation for breakpoints on both (src/tools/dtw_segmentation.py)
+  C) spliced training: pretrained (A), freeze-bottom/unfreeze-top-3,
+     stitch ubs=XY ub_prop 0.09 (BASELINE config #5 knobs)
+  D) per-epoch UB validation on held-out-regime reads, best-epoch
+     selection (weights_99 symlink), test eval — results_summ CSV chain
+
+Evaluation reads use the HELD-OUT signal regime (data/simulate.py REGIMES:
+different dwell distribution + noise model than any training/augmentation
+signal), so the reported UB accuracy is not circular with the simulator.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def phase_a_bootstrap(args, cfg_dir):
+    from xna_basecaller_tpu.augment.spike import make_spike_augment
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.data.ctc_data import ChunkDataset
+    from xna_basecaller_tpu.data.simulate import simulate_ctc_dataset
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.train.loop import Trainer
+
+    workdir = os.path.join(args.out, "bootstrap_model")
+    if os.path.exists(os.path.join(workdir, "training.csv")):
+        log("> [A] bootstrap model exists, skipping")
+        return workdir
+    t0 = time.time()
+    log(f"> [A] simulating {args.boot_chunks} DNA chunks...")
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        args.boot_chunks, chunk_len=3600, target_len=400, seed=11)
+    augment = make_spike_augment(ubs="XY", prop_ubs=0.10, noise_std=1.0)
+    n_val = max(args.batch, args.boot_chunks // 32)
+    train = ChunkDataset(chunks[:-n_val], refs[:-n_val], lens[:-n_val],
+                         bkps[:-n_val], augment=augment)
+    valid = ChunkDataset(chunks[-n_val:], refs[-n_val:], lens[-n_val:],
+                         bkps[-n_val:], augment=augment,
+                         epoch_reset_seed=True)
+    cfg = config_lib.load(cfg_dir)
+    model = Model(cfg)
+    trainer = Trainer(model, train, valid, batchsize=args.batch,
+                      lr=1e-3, warmup_steps=300, log=log)
+    trainer.fit(workdir, epochs=args.boot_epochs)
+    config_lib.save(cfg, workdir)
+    log(f"> [A] bootstrap trained in {time.time() - t0:.0f}s")
+    return workdir
+
+
+def _sim_library_reads(refs, rng, n_reads, with_ubs, regime, read_len_chunks):
+    """Simulated library reads: template (xna or pc-ified) + flanks,
+    repeated to span read_len_chunks device chunks."""
+    from xna_basecaller_tpu.core.alphabet import encode, reverse_complement_str
+    from xna_basecaller_tpu.data.pore_model import load_pore_model
+    from xna_basecaller_tpu.data.simulate import (
+        REGIMES, SimReadObj, simulate_squiggle,
+    )
+
+    pore = load_pore_model()
+    kw = REGIMES[regime]
+    tids = refs.xna_targets_id
+    for i in range(n_reads):
+        tid = tids[int(rng.integers(len(tids)))]
+        tar = refs.targets[tid]
+        tar = tar.replace("N", "X") if with_ubs else tar.replace("N", "A")
+        if rng.random() < 0.5:
+            tar = reverse_complement_str(tar)
+        flank = "".join("ACGT"[j] for j in rng.integers(0, 4, 60))
+        seq = flank + tar + flank
+        # repeat template blocks so the signal covers the requested number
+        # of device chunks with margin (dwell is stochastic)
+        need = int(read_len_chunks * 3600 * 1.25 / kw["samples_per_base"])
+        seq = seq * max(1, -(-need // len(seq)))
+        codes = encode(seq)
+        sig, _ = simulate_squiggle(codes, pore, rng, **kw)
+        yield SimReadObj(read_id=f"{tid}_{i}", signal=sig, sequence=seq)
+
+
+def phase_b_bootstrap_data(args, boot_dir):
+    from xna_basecaller_tpu.data.writers import CtcDataWriter
+    from xna_basecaller_tpu.eval.ref_align import SeedIndex, align_read
+    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
+    from xna_basecaller_tpu.infer.basecall import basecall
+    from xna_basecaller_tpu.tools.dtw_segmentation import dtw_segmentation
+    from xna_basecaller_tpu.utils.model_io import load_model
+
+    refs = XnaRefs(args.exp)
+    seed_index = SeedIndex(refs.targets)
+    out = {}
+    model, params, cfg = load_model(boot_dir)
+    for kind, with_ubs, n_reads, ub_only in (
+            ("xna", True, args.xna_reads, True),
+            ("dna", False, args.dna_reads, False)):
+        ctc_dir = os.path.join(args.out, f"ctc_{kind}")
+        out[kind] = ctc_dir
+        if os.path.exists(os.path.join(ctc_dir, "breakpoints.npy")):
+            log(f"> [B] {kind} ctc-data exists, skipping")
+            continue
+        t0 = time.time()
+        rng = np.random.default_rng(100 if kind == "xna" else 200)
+
+        def chunk_reads():
+            from xna_basecaller_tpu.data.simulate import SimReadObj
+            for read in _sim_library_reads(
+                    refs, rng, n_reads, with_ubs, "default",
+                    read_len_chunks=args.read_chunks):
+                sig = read.signal
+                for j in range(len(sig) // 3600):
+                    yield SimReadObj(
+                        read_id=f"{read.read_id}:{j}",
+                        signal=sig[j * 3600:(j + 1) * 3600])
+
+        writer = CtcDataWriter(ctc_dir, min_coverage=0.2,
+                               min_accuracy=args.ctc_min_acc,
+                               ub_only=ub_only, log=log)
+        # DNA reads align against the pc-ified templates
+        targets = (refs.targets if with_ubs else
+                   {t: s.replace("N", "A") for t, s in refs.targets.items()})
+        n_in = 0
+        for read, attrs in basecall(model, params, chunk_reads(),
+                                    chunksize=3600, overlap=500,
+                                    batchsize=args.batch):
+            n_in += 1
+            seq = attrs["sequence"]
+            if not seq:
+                writer.add(read.signal, seq, None)
+                continue
+            rec = align_read(read.read_id, seq, targets,
+                             seed_index=seed_index if with_ubs else None)
+            mapping = rec.as_dict() if rec else None
+            refseq = None
+            if rec is not None:
+                refseq = targets[rec.target_id][
+                    rec.target_start:rec.target_end]
+            writer.add(read.signal, seq, mapping, refseq=refseq)
+        n_kept = writer.save()
+        log(f"> [B] {kind}: {n_kept}/{n_in} chunks kept "
+            f"({time.time() - t0:.0f}s); stats={writer.stats}")
+        if n_kept == 0:
+            raise RuntimeError(f"bootstrap produced no {kind} ctc data")
+        dtw_segmentation(ctc_dir, n_proc=args.n_proc, log=log)
+    return out["xna"], out["dna"]
+
+
+def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir):
+    from xna_basecaller_tpu.cli.train import argparser, main as train_main
+
+    workdir = os.path.join(args.out, "spliced_model")
+    if os.path.exists(os.path.join(
+            workdir, f"weights_{args.epochs}.npz")):
+        log("> [C] spliced model fully trained, skipping")
+        return workdir
+    argv = [workdir, "--directory", dna_dir, "--xna-ctc-dir", xna_dir,
+            "--pretrained", boot_dir, "--stitch", "--ubs", "XY",
+            "--ub-prop", "0.09", "--freeze-bottom", "--unfreeze-top", "3",
+            "--epochs", str(args.epochs), "--batch", str(args.batch),
+            "--lr", str(args.lr), "-f"]
+    log(f"> [C] spliced training: {' '.join(argv)}")
+    train_main(argparser().parse_args(argv))
+    return workdir
+
+
+def phase_d_validate(args, workdir):
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
+    from xna_basecaller_tpu.infer.basecall import run_basecaller
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.tools.eval_model import eval_model
+    from xna_basecaller_tpu.tools.train_and_eval import run_ub_validation
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    refs = XnaRefs(args.exp)
+    cfg = config_lib.load(workdir)
+    model = Model(cfg)
+
+    # held-out-regime eval reads, fixed across epochs
+    rng = np.random.default_rng(777)
+    val_reads = list(_sim_library_reads(
+        refs, rng, args.val_reads, True, "heldout", read_len_chunks=1))
+    test_reads = list(_sim_library_reads(
+        refs, rng, args.test_reads, True, "heldout", read_len_chunks=1))
+    # matched in-distribution test set for the circularity comparison
+    rng2 = np.random.default_rng(778)
+    test_reads_ind = list(_sim_library_reads(
+        refs, rng2, args.test_reads, True, "default", read_len_chunks=1))
+
+    import re
+    from glob import glob
+    epochs = sorted({
+        int(m.group(1)) for f in glob(os.path.join(workdir, "weights_*.npz"))
+        if (m := re.search(r"weights_(\d+)\.npz$", f))
+        and not os.path.islink(f) and not f.endswith("weights_99.npz")})
+    fastq_per_epoch = {}
+    template = model.init_template() if hasattr(model, "init_template") \
+        else None
+    for epoch in epochs:
+        out_dir = os.path.join(workdir, f"basecalls-weights_{epoch}")
+        os.makedirs(out_dir, exist_ok=True)
+        fq = os.path.join(out_dir, f"reads-{args.exp}-val.fastq")
+        fastq_per_epoch[epoch] = fq
+        if os.path.exists(fq) and os.path.getsize(fq):
+            continue
+        import jax
+        from xna_basecaller_tpu.models.crf_model import init_params
+        params = ckpt.load_tree(
+            init_params(jax.random.key(0), cfg),
+            os.path.join(workdir, f"weights_{epoch}.npz"))
+        t0 = time.time()
+        with open(fq, "w") as fh:
+            stats = run_basecaller(model, params, iter(val_reads), fh,
+                                   chunksize=3600, overlap=500,
+                                   batchsize=args.batch)
+        log(f"> [D] epoch {epoch}: basecalled val in "
+            f"{time.time() - t0:.0f}s ({stats['samples_per_s']:.2E} sps)")
+    best = run_ub_validation(workdir, args.exp, ubs="XY",
+                             fastq_per_epoch=fastq_per_epoch, log=log)
+    log(f"> [D] best epoch: {best}")
+
+    # test eval with the best checkpoint, held-out + in-distribution
+    import jax
+    from xna_basecaller_tpu.models.crf_model import init_params
+    params = ckpt.load_tree(
+        init_params(jax.random.key(0), cfg),
+        os.path.join(workdir, "weights_99.npz"))
+    results = {}
+    for tag, reads in (("test", test_reads), ("test-ind", test_reads_ind)):
+        out_dir = os.path.join(workdir, f"basecalls-{tag}")
+        os.makedirs(out_dir, exist_ok=True)
+        fq = os.path.join(out_dir, f"reads-{args.exp}-{tag}.fastq")
+        if not (os.path.exists(fq) and os.path.getsize(fq)):
+            with open(fq, "w") as fh:
+                run_basecaller(model, params, iter(reads), fh,
+                               chunksize=3600, overlap=500,
+                               batchsize=args.batch)
+        results[tag] = eval_model(args.exp, out_dir, split=tag,
+                                  reads_fastq=fq, ubs="XY", log=log)
+    return best, results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", default="CPLX", choices=["POC", "CPLX"])
+    p.add_argument("--out", default="/tmp/spliced_northstar")
+    p.add_argument("--features", type=int, default=768)
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--epochs", type=int, default=8,
+                   help="spliced-training epochs")
+    p.add_argument("--boot-epochs", type=int, default=10)
+    p.add_argument("--boot-chunks", type=int, default=12288)
+    p.add_argument("--xna-reads", type=int, default=1500)
+    p.add_argument("--dna-reads", type=int, default=2500)
+    p.add_argument("--read-chunks", type=int, default=2,
+                   help="device chunks per simulated bootstrap read")
+    p.add_argument("--ctc-min-acc", type=float, default=0.85)
+    p.add_argument("--val-reads", type=int, default=300)
+    p.add_argument("--test-reads", type=int, default=400)
+    p.add_argument("--n-proc", type=int, default=8)
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    cfg_dir = os.path.join(args.out, "base_config")
+    os.makedirs(cfg_dir, exist_ok=True)
+    config_lib.save(ModelConfig(encoder=EncoderConfig(
+        features=args.features, num_rnn_layers=args.layers)), cfg_dir)
+
+    t0 = time.time()
+    boot_dir = phase_a_bootstrap(args, cfg_dir)
+    xna_dir, dna_dir = phase_b_bootstrap_data(args, boot_dir)
+    workdir = phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir)
+    best, results = phase_d_validate(args, workdir)
+
+    summary = {
+        "exp": args.exp, "best_epoch": best,
+        "wall_seconds": int(time.time() - t0),
+        "test_heldout": {k: v for k, v in results["test"].items()
+                         if isinstance(v, (int, float))},
+        "test_in_distribution": {
+            k: v for k, v in results["test-ind"].items()
+            if isinstance(v, (int, float))},
+    }
+    with open(os.path.join(args.out, "northstar_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    log(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

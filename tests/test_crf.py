@@ -343,9 +343,10 @@ def test_ctc_viterbi_alignments_valid_path():
     np.testing.assert_allclose(picked, lz_max, rtol=1e-4, atol=1e-4)
 
 
-def test_gather_cols_vjp_matches_scatter():
-    """The one-hot-matmul backward of _gather_cols must equal the
-    scatter-add transpose of take_along_axis, incl. duplicate columns."""
+def test_gather_cols_matmul_matches_gather():
+    """The one-hot-matmul gather (the TPU path) must equal
+    take_along_axis in both the forward and the VJP (whose transpose is
+    scatter-add — duplicate columns must sum)."""
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
@@ -358,9 +359,13 @@ def test_gather_cols_vjp_matches_scatter():
         return jnp.take_along_axis(
             s, jnp.broadcast_to(idx[None], (T, N, n)), axis=2)
 
-    want = jax.vjp(ref_gather, scores)[1](ct)[0]
-    got = jax.vjp(lambda s: crf._gather_cols(s, idx), scores)[1](ct)[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    want_f, ref_vjp = jax.vjp(ref_gather, scores)
+    got_f, mm_vjp = jax.vjp(
+        lambda s: crf._gather_cols_matmul(s, idx), scores)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mm_vjp(ct)[0]),
+                               np.asarray(ref_vjp(ct)[0]),
                                rtol=1e-5, atol=1e-6)
 
 

@@ -119,3 +119,52 @@ def test_trainable_pallas_lstm_grads_match_scan():
                                        rtol=2e-3, atol=2e-4)
     finally:
         pl.pallas_call = orig
+
+
+@pytest.mark.parametrize("n_base,state_len", [(4, 2), (6, 3)])
+def test_edge_posteriors_pallas_matches(n_base, state_len):
+    T, N = 10, 3
+    C = (n_base + 1) * n_base ** state_len
+    s = jax.random.normal(jax.random.key(5), (T, N, C), jnp.float32)
+    p_pal = crf_pallas.edge_posteriors_pallas(
+        s, n_base, state_len, interpret=True)
+    p_ref = crf.posteriors(s, n_base, state_len)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ctc_lattice_logz_pallas_matches():
+    T, N, n = 14, 3, 9
+    k = jax.random.split(jax.random.key(6), 2)
+    stay = jax.random.normal(k[0], (T, N, n), jnp.float32)
+    move = jax.random.normal(k[1], (T, N, n - 1), jnp.float32)
+    lengths = jnp.asarray([n, n - 2, n - 1])
+    got = crf_pallas.ctc_lattice_logz_pallas(stay, move, lengths,
+                                             interpret=True)
+    want = crf.ctc_lattice_logz(stay, move, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ctc_lattice_grads_pallas_match():
+    T, N, n = 12, 2, 7
+    k = jax.random.split(jax.random.key(7), 3)
+    stay = jax.random.normal(k[0], (T, N, n), jnp.float32)
+    move = jax.random.normal(k[1], (T, N, n - 1), jnp.float32)
+    lengths = jnp.asarray([n, n - 1])
+    ct = jax.random.normal(k[2], (N,), jnp.float32)
+
+    d_stay, d_move, logz = crf_pallas.ctc_lattice_grads_pallas(
+        stay, move, lengths, ct, interpret=True)
+
+    want_logz = crf.ctc_lattice_logz(stay, move, lengths)
+    np.testing.assert_allclose(np.asarray(logz), np.asarray(want_logz),
+                               rtol=1e-5)
+
+    want_ds, want_dm = jax.vjp(
+        lambda st, mv: crf.ctc_lattice_logz_grad(st, mv, lengths),
+        stay, move)[1](ct)
+    np.testing.assert_allclose(np.asarray(d_stay), np.asarray(want_ds),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_move), np.asarray(want_dm),
+                               rtol=1e-4, atol=1e-6)

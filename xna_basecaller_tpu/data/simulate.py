@@ -50,9 +50,25 @@ def random_sequence(rng, length: int, ub_prop: float = 0.0,
     return seq.astype(np.uint8)
 
 
+# Signal regimes: "default" is the regime augmentation trains against;
+# "heldout" changes the dwell distribution (gamma instead of normal, longer
+# events), the within-event noise model (gaussian instead of uniform) and
+# the noise floor — an out-of-distribution evaluation regime so reported
+# accuracies are not circular with the training simulator (VERDICT
+# round-1 item #5).
+REGIMES = {
+    "default": dict(samples_per_base=9.0, dwell_std=2.0, noise_std=0.5,
+                    dwell_dist="normal", event_noise="uniform"),
+    "heldout": dict(samples_per_base=10.5, dwell_std=3.5, noise_std=0.65,
+                    dwell_dist="gamma", event_noise="gauss"),
+}
+
+
 def simulate_squiggle(seq_codes: np.ndarray, pore: PoreModel, rng,
                       samples_per_base: float = 9.0,
-                      dwell_std: float = 2.0, noise_std: float = 0.5):
+                      dwell_std: float = 2.0, noise_std: float = 0.5,
+                      dwell_dist: str = "normal",
+                      event_noise: str = "uniform"):
     """Base codes -> (normalised signal, breakpoints).
 
     breakpoints[i] = cumulative signal index at which base i's event ends
@@ -61,11 +77,19 @@ def simulate_squiggle(seq_codes: np.ndarray, pore: PoreModel, rng,
     seq = decode(seq_codes, BASES, drop_blank=False)
     means, stds = pore.seq_levels(seq, append=True)
     L = len(seq_codes)
-    reps = np.maximum(
-        1, rng.normal(samples_per_base, dwell_std, L).round().astype(int))
+    if dwell_dist == "gamma":
+        shape = (samples_per_base / dwell_std) ** 2
+        scale = dwell_std ** 2 / samples_per_base
+        draws = rng.gamma(shape, scale, L)
+    else:
+        draws = rng.normal(samples_per_base, dwell_std, L)
+    reps = np.maximum(1, draws.round().astype(int))
     event_means = np.repeat(means[:L], reps)
     event_stds = np.repeat(stds[:L], reps)
-    raw = event_means + rng.uniform(-event_stds, event_stds)
+    if event_noise == "gauss":
+        raw = event_means + rng.normal(0, 1, event_means.shape) * event_stds
+    else:
+        raw = event_means + rng.uniform(-event_stds, event_stds)
     if noise_std > 0:
         raw = raw + rng.normal(0, noise_std, raw.shape)
     med, mad = med_mad(raw)

@@ -76,9 +76,17 @@ def _logz_scan(scores, n_base: int, state_len: int, semiring: str = LOG):
 
 
 def _pallas_log_path(semiring: str) -> bool:
-    """Route the Log-semiring recursions through the Pallas kernels on TPU
-    (the XLA scans relayout per step and dominate the train step)."""
+    """Route the Log-semiring recursions through the Pallas kernels on TPU.
+
+    Opt-in (XNACALL_PALLAS_LOSS=1): the XLA scans are adequate once the
+    gather VJP runs as a one-hot matmul (the scatter was the real cost),
+    and the extra Mosaic kernels push the train-step compile through this
+    environment's remote compile service past 10 minutes.  The kernels are
+    interpret-mode tested either way."""
     if semiring != LOG:
+        return False
+    import os
+    if not os.environ.get("XNACALL_PALLAS_LOSS"):
         return False
     from xna_basecaller_tpu.utils.platform import is_tpu
     return is_tpu()
@@ -329,40 +337,34 @@ def normalise(scores, n_base: int, state_len: int):
     return scores - (lz / T)[None, :, None]
 
 
-@jax.custom_vjp
-def _gather_cols(scores, idx):
-    """Per-sample column gather: scores [T, N, C], idx [N, n] -> [T, N, n].
+def _gather_cols_matmul(scores, idx):
+    """One-hot-matmul formulation of the per-sample column gather:
+    stay_move[t,n,j] = sum_c scores[t,n,c] * [idx[n,j] == c].
 
-    Custom VJP: the natural backward is a scatter-add into [T, N, C],
-    which XLA serialises catastrophically on TPU (~2s at flagship shapes
-    — it dominated the whole train step).  Instead the transpose is the
-    one-hot matmul d_scores[t,n,c] = sum_j ct[t,n,j] * [idx[n,j] == c],
-    which runs on the MXU in ~1ms and handles duplicate columns (repeated
-    k-mers) by summation exactly like scatter-add.
-    """
+    Exact (each row of the one-hot has a single 1.0), and its autodiff
+    transpose is the reverse einsum — also a matmul.  On TPU this runs on
+    the MXU in a few ms, whereas XLA lowers both take_along_axis over the
+    score columns AND its scatter-add transpose to serialised custom
+    fusions sustaining ~1.3 GB/s (~1.1s each at flagship shapes — they
+    dominated the whole train step)."""
+    C = scores.shape[2]
+    onehot = (idx[:, :, None] == jnp.arange(C)[None, None, :]
+              ).astype(scores.dtype)                      # [N, n, C]
+    return jnp.einsum("tnc,njc->tnj", scores, onehot,
+                      preferred_element_type=jnp.float32
+                      ).astype(scores.dtype)
+
+
+def _gather_cols(scores, idx):
+    """scores [T, N, C], idx [N, n] -> [T, N, n]; MXU matmul on TPU,
+    plain gather elsewhere (the matmul is O(T*N*n*C) FLOPs — free on the
+    MXU, wasteful on CPU)."""
+    from xna_basecaller_tpu.utils.platform import is_tpu
+    if is_tpu():
+        return _gather_cols_matmul(scores, idx)
     T, N, n = scores.shape[0], idx.shape[0], idx.shape[1]
     return jnp.take_along_axis(
         scores, jnp.broadcast_to(idx[None], (T, N, n)), axis=2)
-
-
-def _gather_cols_fwd(scores, idx):
-    # zero-size carrier keeps C and dtype in the residuals as a JAX type
-    proto = jnp.zeros((0, scores.shape[2]), scores.dtype)
-    return _gather_cols(scores, idx), (idx, proto)
-
-
-def _gather_cols_bwd(res, ct):
-    idx, proto = res
-    C, dtype = proto.shape[1], proto.dtype
-    onehot = (idx[:, :, None] == jnp.arange(C)[None, None, :]
-              ).astype(jnp.float32)                       # [N, n, C]
-    d_scores = jnp.einsum("tnj,njc->tnc", ct.astype(jnp.float32), onehot,
-                          preferred_element_type=jnp.float32)
-    return (d_scores.astype(dtype),
-            np.zeros(idx.shape, dtype=jax.dtypes.float0))
-
-
-_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
 def prepare_ctc_scores(scores, targets, n_base: int, state_len: int):
