@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -177,6 +178,94 @@ int dtw_band(const float* query, int T, const float* ref, int R,
     }
     if (j != 0) return -1;
     return 0;
+}
+
+// CTC prefix beam search over one read's posteriors [T, C] (class 0 =
+// blank) — the fast-ctc-decode equivalent for the legacy CTC family
+// (reference: ub-bonito/bonito/ctc/model.py:39-46).  Prefixes live in a
+// trie; each node records the frame at which its last base was first
+// emitted (same memoisation as the python fallback in ops/ctc.py, which
+// defines the semantics).  Writes label codes and frames into
+// seq_out/frame_out [max_out]; returns the sequence length, or -1 on
+// overflow/bad args.
+int ctc_beam_search(const float* probs, int T, int C, int beamsize,
+                    float threshold, int32_t* seq_out, int32_t* frame_out,
+                    int max_out) {
+    if (T <= 0 || C <= 1 || beamsize <= 0) return -1;
+    struct Node { int parent; int c; int frame; };
+    std::vector<Node> trie;
+    trie.push_back({-1, 0, -1});  // root = empty prefix
+    // children keyed by (parent << 20) | c  (C < 2^20)
+    std::unordered_map<int64_t, int> children;
+    auto child = [&](int parent, int c, int t) {
+        const int64_t key = ((int64_t)parent << 20) | (int64_t)c;
+        auto it = children.find(key);
+        if (it != children.end()) return it->second;
+        const int id = (int)trie.size();
+        trie.push_back({parent, c, t});
+        children.emplace(key, id);
+        return id;
+    };
+
+    struct Beam { int node; double pb, pnb; };
+    std::vector<Beam> beams{{0, 1.0, 0.0}};
+    std::vector<Beam> nxt;
+    std::unordered_map<int, int> slot;  // node -> index in nxt
+    auto acc = [&](int node, double pb, double pnb) {
+        auto it = slot.find(node);
+        if (it == slot.end()) {
+            slot.emplace(node, (int)nxt.size());
+            nxt.push_back({node, pb, pnb});
+        } else {
+            nxt[it->second].pb += pb;
+            nxt[it->second].pnb += pnb;
+        }
+    };
+
+    for (int t = 0; t < T; ++t) {
+        const float* f = probs + (size_t)t * C;
+        nxt.clear();
+        slot.clear();
+        for (const Beam& b : beams) {
+            const double total = b.pb + b.pnb;
+            if (f[0] > threshold) acc(b.node, total * f[0], 0.0);
+            const int last = trie[b.node].c;  // 0 at root (no base)
+            for (int c = 1; c < C; ++c) {
+                const double p = f[c];
+                if (p <= threshold) continue;
+                if (c == last) {
+                    acc(b.node, 0.0, b.pnb * p);
+                    acc(child(b.node, c, t), 0.0, b.pb * p);
+                } else {
+                    acc(child(b.node, c, t), 0.0, total * p);
+                }
+            }
+        }
+        if (nxt.empty()) nxt.push_back({0, 1.0, 0.0});
+        const size_t keep = std::min((size_t)beamsize, nxt.size());
+        std::partial_sort(
+            nxt.begin(), nxt.begin() + keep, nxt.end(),
+            [](const Beam& a, const Beam& b) {
+                return a.pb + a.pnb > b.pb + b.pnb;
+            });
+        nxt.resize(keep);
+        std::swap(beams, nxt);
+    }
+
+    const Beam* best = &beams[0];
+    for (const Beam& b : beams)
+        if (b.pb + b.pnb > best->pb + best->pnb) best = &b;
+    std::vector<int> rev;
+    for (int node = best->node; node != 0; node = trie[node].parent)
+        rev.push_back(node);
+    if ((int)rev.size() > max_out) return -1;
+    const int n = (int)rev.size();
+    for (int i = 0; i < n; ++i) {
+        const Node& nd = trie[rev[n - 1 - i]];
+        seq_out[i] = nd.c;
+        frame_out[i] = nd.frame;
+    }
+    return n;
 }
 
 }  // extern "C"

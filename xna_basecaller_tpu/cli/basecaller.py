@@ -91,16 +91,28 @@ def main(args):
     t0 = perf_counter()
     n_reads = 0
     n_samples = 0
+    if cfg.is_ctc:
+        # legacy QuartzNet family: score-level stitch + host beam decode
+        # (reference ctc/basecall.py:14-29)
+        from xna_basecaller_tpu.infer.ctc_basecall import basecall_ctc
+        called = basecall_ctc(
+            model, params, reads, chunksize=chunksize,
+            overlap=cfg.basecaller.overlap,
+            batchsize=cfg.basecaller.batchsize, beamsize=args.beamsize,
+            qscores=args.qscores, cancel=cancel)
+    else:
+        called = basecall(
+            model, params, reads, chunksize=chunksize,
+            overlap=cfg.basecaller.overlap,
+            batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
+            qscores=args.qscores, cancel=cancel)
     try:
-        for read, attrs in basecall(
-                model, params, reads, chunksize=chunksize,
-                overlap=cfg.basecaller.overlap,
-                batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
-                qscores=args.qscores, cancel=cancel):
+        for read, attrs in called:
             n_reads += 1
             n_samples += len(read.signal)
             seq, qstring = attrs["sequence"], attrs["qstring"]
-            mean_q = mean_qscore_from_qstring(qstring)
+            mean_q = attrs.get("mean_qscore",
+                               mean_qscore_from_qstring(qstring))
             mapping, refseq = (None, None)
             if targets is not None and len(seq):
                 mapping, refseq = align(seq)
@@ -147,6 +159,8 @@ def argparser():
                         help="file of read ids to include")
     parser.add_argument("--skip", action="store_true",
                         help="treat --read-ids as an exclude list")
+    parser.add_argument("--beamsize", default=5, type=int,
+                        help="CTC-family beam width (1 = greedy)")
     parser.add_argument("--revcomp", action="store_true",
                         help="reverse-complement decoding (R strand)")
     parser.add_argument("--qscores", action="store_true",

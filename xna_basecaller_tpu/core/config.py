@@ -35,6 +35,20 @@ class EncoderConfig:
 
 
 @dataclass(frozen=True)
+class BlockConfig:
+    """One QuartzNet encoder block (legacy CTC family; reference:
+    ub-bonito/bonito/ctc/model.py:68-79 reads these [[block]] sections)."""
+    filters: int = 256
+    repeat: int = 1
+    kernel: tuple[int, ...] = (33,)
+    stride: tuple[int, ...] = (1,)
+    dilation: tuple[int, ...] = (1,)
+    dropout: float = 0.0
+    residual: bool = False
+    separable: bool = False
+
+
+@dataclass(frozen=True)
 class QScoreConfig:
     bias: float = 0.0
     scale: float = 1.0
@@ -57,6 +71,12 @@ class ModelConfig:
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     qscore: QScoreConfig = field(default_factory=QScoreConfig)
     basecaller: BasecallerConfig = field(default_factory=BasecallerConfig)
+    # legacy CTC (QuartzNet) family: non-empty blocks selects the CTC path
+    blocks: tuple[BlockConfig, ...] = ()
+
+    @property
+    def is_ctc(self) -> bool:
+        return bool(self.blocks) or self.package.endswith("ctc_model")
 
     @property
     def alphabet(self) -> str:
@@ -82,6 +102,18 @@ def _pick(d: dict, *keys, default=None):
     return default
 
 
+def _blocks_from(raw_blocks) -> tuple[BlockConfig, ...]:
+    blk_fields = {f.name for f in dataclasses.fields(BlockConfig)}
+    out = []
+    for b in raw_blocks:
+        kw = {k: v for k, v in b.items() if k in blk_fields}
+        for key in ("kernel", "stride", "dilation"):
+            if key in kw:
+                kw[key] = tuple(kw[key])
+        out.append(BlockConfig(**kw))
+    return tuple(out)
+
+
 def from_dict(raw: dict[str, Any]) -> ModelConfig:
     enc_raw = dict(raw.get("encoder", {}))
     enc_fields = {f.name for f in dataclasses.fields(EncoderConfig)}
@@ -90,6 +122,7 @@ def from_dict(raw: dict[str, Any]) -> ModelConfig:
     bc_raw = raw.get("basecaller", {})
     bc_fields = {f.name for f in dataclasses.fields(BasecallerConfig)}
     cfg = ModelConfig(
+        blocks=_blocks_from(raw.get("block", [])),
         state_len=raw.get("global_norm", {}).get("state_len", 3),
         labels=tuple(raw.get("labels", {}).get("labels", tuple("NACGTXY"))),
         input_features=raw.get("input", {}).get("features", 1),
@@ -105,7 +138,14 @@ def from_dict(raw: dict[str, Any]) -> ModelConfig:
 
 
 def to_dict(cfg: ModelConfig) -> dict[str, Any]:
+    extra = {}
+    if cfg.blocks:
+        extra["block"] = [
+            {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in dataclasses.asdict(b).items()}
+            for b in cfg.blocks]
     return {
+        **extra,
         "global_norm": {"state_len": cfg.state_len},
         "qscore": {"bias": cfg.qscore.bias, "scale": cfg.qscore.scale},
         "input": {"features": cfg.input_features},
@@ -144,10 +184,14 @@ def dumps(cfg: ModelConfig | dict) -> str:
     raw = to_dict(cfg) if isinstance(cfg, ModelConfig) else cfg
     out = []
     for section, kv in raw.items():
-        out.append(f"[{section}]")
-        for k, v in kv.items():
-            out.append(f"{k} = {_toml_value(v)}")
-        out.append("")
+        # array of tables ([[block]] sections, legacy CTC configs)
+        entries = kv if isinstance(kv, list) else [kv]
+        header = f"[[{section}]]" if isinstance(kv, list) else f"[{section}]"
+        for entry in entries:
+            out.append(header)
+            for k, v in entry.items():
+                out.append(f"{k} = {_toml_value(v)}")
+            out.append("")
     return "\n".join(out)
 
 

@@ -57,7 +57,15 @@ def train_step(params, opt_state, chunks, targets, lengths,
 
     ``grad_accum_split`` > 1 runs the batch as micro-batches with summed
     gradients and a single update (reference training.py:91-110).
+
+    Legacy CTC (QuartzNet) configs delegate to the CTC family's step,
+    which also maintains batchnorm running stats (no accum support there).
     """
+    if cfg.is_ctc:
+        from xna_basecaller_tpu.models import ctc_model
+        return ctc_model.train_step(
+            params, opt_state, chunks, targets, lengths, cfg, optimizer,
+            dropout_rng=dropout_rng)
 
     use_dropout = (cfg.encoder.drop_rate > 0
                    or cfg.encoder.drop_rate_bottom > 0)
@@ -105,6 +113,9 @@ def train_step(params, opt_state, chunks, targets, lengths,
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def eval_scores(params, chunks, cfg, compute_dtype=jnp.bfloat16):
+    if cfg.is_ctc:
+        from xna_basecaller_tpu.models import ctc_model
+        return ctc_model.forward(params, chunks, cfg)
     return crf_model.forward(params, chunks, cfg, compute_dtype,
                              inference=True)
 
@@ -318,7 +329,7 @@ class Trainer:
             scores = eval_scores(params, c_s, self.model.cfg,
                                  self.compute_dtype)
             scores = scores[:, : c.shape[0]]
-            losses.append(float(self.model.seqdist.ctc_loss(
+            losses.append(float(self.model.loss(
                 scores, t_s[: c.shape[0]], l_s[: c.shape[0]])))
             seqs = self.model.decode_batch(scores)
             refs = [decode_codes(row[:length], self.model.alphabet)

@@ -42,8 +42,15 @@ def load_model(dirname: str, weights: int | None = None,
         )
     cfg = replace(cfg, basecaller=bc, encoder=enc)
 
-    model = Model(cfg)
-    template = init_params(jax.random.key(seed), cfg)
+    # model family dispatch (reference load_symbol on config["model"]
+    # ["package"], util.py:228-233/295): QuartzNet CTC vs flagship CRF
+    if cfg.is_ctc:
+        from xna_basecaller_tpu.models import ctc_model
+        model = ctc_model.CtcModel(cfg)
+        template = ctc_model.init_params(jax.random.key(seed), cfg)
+    else:
+        model = Model(cfg)
+        template = init_params(jax.random.key(seed), cfg)
     epoch = weights if weights is not None else ckpt.latest_epoch(dirname)
     if epoch is None:
         # fall back to reference-format torch checkpoints (weights_N.tar)
@@ -61,7 +68,8 @@ def load_model(dirname: str, weights: int | None = None,
             params = load_torch_checkpoint(
                 os.path.join(dirname, f"weights_{tar_epoch}.tar"), cfg)
             if skip_top:
-                for key in ("head", "head_ext"):
+                for key in (("decoder",) if cfg.is_ctc
+                            else ("head", "head_ext")):
                     if key in template:
                         params[key] = template[key]
             import jax.numpy as jnp
@@ -75,7 +83,8 @@ def load_model(dirname: str, weights: int | None = None,
         # their fresh init — alphabet-transfer checkpoints have a different
         # head shape, so they must not even be shape-checked.
         sub_template = {k: v for k, v in template.items()
-                        if k not in ("head", "head_ext")}
+                        if k not in (("decoder",) if cfg.is_ctc
+                                     else ("head", "head_ext"))}
         params = {**template, **ckpt.load_tree(sub_template, path)}
     else:
         params = ckpt.load_tree(template, path)

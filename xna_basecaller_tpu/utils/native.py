@@ -70,6 +70,13 @@ def _load():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_int, ctypes.c_float,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+        lib.ctc_beam_search.restype = ctypes.c_int
+        lib.ctc_beam_search.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -103,6 +110,26 @@ def sw_align(query: str, ref: str):
         else:
             cigar.append([op, 1])
     return score, [(o, c) for o, c in cigar], tuple(bounds)
+
+
+def ctc_beam_search(probs: np.ndarray, alphabet: str, beamsize: int = 5,
+                    threshold: float = 1e-3):
+    """Native CTC prefix beam search; returns (sequence, frames) or None
+    if the kernel is unavailable/overflowed (caller falls back to
+    ops/ctc.py::_beam_search_py, which defines the semantics)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(probs, np.float32)
+    T, C = p.shape
+    seq = np.empty(T + 1, np.int32)
+    frames = np.empty(T + 1, np.int32)
+    n = lib.ctc_beam_search(p, T, C, int(beamsize), np.float32(threshold),
+                            seq, frames, T + 1)
+    if n < 0:
+        return None
+    return ("".join(alphabet[c] for c in seq[:n]),
+            frames[:n].astype(np.int64))
 
 
 def dtw_band(query: np.ndarray, ref: np.ndarray,
