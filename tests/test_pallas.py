@@ -168,3 +168,38 @@ def test_ctc_lattice_grads_pallas_match():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_move), np.asarray(want_dm),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_lstm_pallas_batch_tiled_matches_single_tile():
+    """Batch-tiled grid (block_n < N) == untiled result; the h/c scratch
+    must reset per batch tile (t==0 with time innermost)."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        H, T, N = 32, 9, 16
+        p = init_lstm_params(jax.random.key(0), H, H)
+        x = jax.random.normal(jax.random.key(1), (T, N, H), jnp.float32)
+        xp = (jnp.einsum("tni,ih->tnh", x, p["w_ih"]) + p["bias"])
+        y_tiled = lstm_pallas.lstm_recurrence_pallas(
+            xp, p["w_hh"], block_n=8)
+        y_full = lstm_pallas.lstm_recurrence_pallas(xp, p["w_hh"])
+        np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_full),
+                                   rtol=1e-5, atol=1e-5)
+        y_ref = lstm_forward(p, x)
+        np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        # trainable forward kernel, tiled vs oracle
+        ys, cs = lstm_pallas._pallas_fwd_with_cells(xp, p["w_hh"], block_n=8)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        assert cs.shape == (T, N, H)
+    finally:
+        pl.pallas_call = orig

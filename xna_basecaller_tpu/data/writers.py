@@ -97,6 +97,36 @@ def _cigar_from_cs(cs: str) -> str:
     return "".join(f"{n}{op}" for op, n in parts)
 
 
+def sam_record_fields(read_id: str, seq: str, qstring: str,
+                      mapping: dict | None = None) -> list[str]:
+    """The 11 mandatory SAM fields for one basecalled read.
+
+    Shared between the text SamWriter and the binary BamWriter
+    (reference io.py:379-445 builds the same record via pysam)."""
+    if mapping is None:
+        return [read_id, "4", "*", "0", "0", "*", "*", "0", "0",
+                seq, qstring or "*"]
+    flag = "16" if mapping["strand"] in ("-", "R") else "0"
+    out_seq = seq
+    out_q = qstring
+    if flag == "16":
+        out_seq = reverse_complement_str(seq)
+        out_q = qstring[::-1]
+    clip_l = mapping["read_start"]
+    clip_r = mapping["read_length"] - mapping["read_end"]
+    if flag == "16":
+        clip_l, clip_r = clip_r, clip_l
+    cig = _cigar_from_cs(mapping["cs"])
+    if clip_l:
+        cig = f"{clip_l}S" + cig
+    if clip_r:
+        cig = cig + f"{clip_r}S"
+    return [read_id, flag, mapping["target_id"],
+            str(mapping["target_start"] + 1),
+            str(mapping.get("mapping_quality", 60)), cig, "*",
+            "0", "0", out_seq, out_q or "*"]
+
+
 class SamWriter:
     """Minimal text SAM writer (reference io.py:379-445 without pysam)."""
 
@@ -111,29 +141,7 @@ class SamWriter:
 
     def write(self, read_id: str, seq: str, qstring: str,
               mapping: dict | None = None, tags: list[str] | None = None):
-        if mapping is None:
-            fields = [read_id, "4", "*", "0", "0", "*", "*", "0", "0",
-                      seq, qstring or "*"]
-        else:
-            flag = "16" if mapping["strand"] in ("-", "R") else "0"
-            out_seq = seq
-            out_q = qstring
-            if flag == "16":
-                out_seq = reverse_complement_str(seq)
-                out_q = qstring[::-1]
-            clip_l = mapping["read_start"]
-            clip_r = mapping["read_length"] - mapping["read_end"]
-            if flag == "16":
-                clip_l, clip_r = clip_r, clip_l
-            cig = _cigar_from_cs(mapping["cs"])
-            if clip_l:
-                cig = f"{clip_l}S" + cig
-            if clip_r:
-                cig = cig + f"{clip_r}S"
-            fields = [read_id, flag, mapping["target_id"],
-                      str(mapping["target_start"] + 1),
-                      str(mapping.get("mapping_quality", 60)), cig, "*",
-                      "0", "0", out_seq, out_q or "*"]
+        fields = sam_record_fields(read_id, seq, qstring, mapping)
         if tags:
             fields += tags
         self.fd.write("\t".join(fields) + "\n")

@@ -26,9 +26,22 @@ from jax.experimental.pallas import tpu as pltpu
 UNROLL = 2
 
 
+def _auto_block_n(n: int, cap: int = 256) -> int:
+    """Largest power-of-two-ish batch tile <= cap dividing n.
+
+    The inference kernel's per-step VMEM footprint is dominated by the
+    double-buffered xp blocks (2 x UNROLL x BN x 4H bf16): at H=768 a
+    BN=256 tile fits the 16MB scoped budget, BN=384 does not — batch is
+    tiled on the grid instead (hidden/cell scratch is per-tile)."""
+    for bn in (256, 192, 128, 96, 64, 48, 32, 16, 8):
+        if bn <= cap and n % bn == 0:
+            return bn
+    return n
+
+
 def _lstm_scan_kernel(xp_ref, whh_ref, y_ref, h_ref, c_ref):
     """UNROLL timesteps: gates = xp_t + h @ W_hh; LSTM cell updates."""
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -53,10 +66,14 @@ def _lstm_scan_kernel(xp_ref, whh_ref, y_ref, h_ref, c_ref):
     c_ref[:] = c
 
 
-@partial(jax.jit, static_argnames=())
-def lstm_recurrence_pallas(xp, w_hh):
+@partial(jax.jit, static_argnames=("block_n",))
+def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None):
     """xp [T, N, 4H] (input projections + bias), w_hh [H, 4H] ->
-    hidden states [T, N, H]."""
+    hidden states [T, N, H].
+
+    Batch is tiled on the outer grid dimension (time innermost, so the
+    per-tile h/c scratch persists across the whole scan and resets at
+    t == 0 for each new batch tile)."""
     T, N, H4 = xp.shape
     H = H4 // 4
     pad = (-T) % UNROLL
@@ -64,27 +81,28 @@ def lstm_recurrence_pallas(xp, w_hh):
         xp = jnp.concatenate(
             [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
     Tp = T + pad
+    BN = block_n or _auto_block_n(N)
     # bf16 hidden scratch when the compute dtype is half-precision; f32
     # cell state always (accuracy of the long recurrence).
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
     ys = pl.pallas_call(
         _lstm_scan_kernel,
-        grid=(Tp // UNROLL,),
+        grid=(N // BN, Tp // UNROLL),
         in_specs=[
-            pl.BlockSpec((UNROLL, N, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((UNROLL, BN, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((UNROLL, N, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((UNROLL, BN, H), lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N, H), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((N, H), h_dtype),
-            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((BN, H), h_dtype),
+            pltpu.VMEM((BN, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_hh)
     return ys[:T] if pad else ys
 
@@ -115,7 +133,7 @@ def lstm_stack_forward_pallas(layers, directions, x):
 def _lstm_fwd_cells_kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
     """Like _lstm_scan_kernel but also emits the cell states (backward
     residuals).  One timestep per grid step (VMEM budget)."""
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -139,23 +157,24 @@ def _lstm_fwd_cells_kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
     c_out_ref[0] = c.astype(c_out_ref.dtype)
 
 
-def _pallas_fwd_with_cells(xp, w_hh):
+def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None):
     T, N, H4 = xp.shape
     H = H4 // 4
+    BN = block_n or _auto_block_n(N)
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
     return pl.pallas_call(
         _lstm_fwd_cells_kernel,
-        grid=(T,),
+        grid=(N // BN, T),
         in_specs=[
-            pl.BlockSpec((1, N, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BN, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BN, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BN, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -163,11 +182,11 @@ def _pallas_fwd_with_cells(xp, w_hh):
             jax.ShapeDtypeStruct((T, N, H), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, H), h_dtype),
-            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((BN, H), h_dtype),
+            pltpu.VMEM((BN, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_hh)
 
 
