@@ -68,9 +68,15 @@ def phase_a_bootstrap(args, cfg_dir):
     return workdir
 
 
-def _sim_library_reads(refs, rng, n_reads, with_ubs, regime, read_len_chunks):
+def _sim_library_reads(refs, rng, n_reads, with_ubs, regime,
+                       read_len_chunks, jitter=False):
     """Simulated library reads: template (xna or pc-ified) + flanks,
-    repeated to span read_len_chunks device chunks."""
+    repeated to span read_len_chunks device chunks.
+
+    jitter=True randomises the signal regime per read (±15% rate, ±40%
+    dwell/noise spread) — domain randomisation for the *training* data
+    only, so the spliced model generalises beyond one fixed simulator
+    setting; the held-out eval regime stays untouched."""
     from xna_basecaller_tpu.core.alphabet import encode, reverse_complement_str
     from xna_basecaller_tpu.data.pore_model import load_pore_model
     from xna_basecaller_tpu.data.simulate import (
@@ -78,9 +84,17 @@ def _sim_library_reads(refs, rng, n_reads, with_ubs, regime, read_len_chunks):
     )
 
     pore = load_pore_model()
-    kw = REGIMES[regime]
+    base_kw = REGIMES[regime]
     tids = refs.xna_targets_id
     for i in range(n_reads):
+        kw = base_kw
+        if jitter:
+            kw = dict(
+                base_kw,
+                samples_per_base=base_kw["samples_per_base"]
+                * float(rng.uniform(0.85, 1.15)),
+                dwell_std=base_kw["dwell_std"] * float(rng.uniform(0.7, 1.4)),
+                noise_std=base_kw["noise_std"] * float(rng.uniform(0.7, 1.4)))
         tid = tids[int(rng.integers(len(tids)))]
         tar = refs.targets[tid]
         tar = tar.replace("N", "X") if with_ubs else tar.replace("N", "A")
@@ -124,7 +138,7 @@ def phase_b_bootstrap_data(args, boot_dir):
             from xna_basecaller_tpu.data.simulate import SimReadObj
             for read in _sim_library_reads(
                     refs, rng, n_reads, with_ubs, "default",
-                    read_len_chunks=args.read_chunks):
+                    read_len_chunks=args.read_chunks, jitter=args.jitter):
                 sig = read.signal
                 for j in range(len(sig) // 3600):
                     yield SimReadObj(
@@ -275,6 +289,8 @@ def main():
     p.add_argument("--read-chunks", type=int, default=2,
                    help="device chunks per simulated bootstrap read")
     p.add_argument("--ctc-min-acc", type=float, default=0.85)
+    p.add_argument("--jitter", action="store_true",
+                   help="domain-randomise the bootstrap-data signal regime")
     p.add_argument("--val-reads", type=int, default=300)
     p.add_argument("--test-reads", type=int, default=400)
     p.add_argument("--n-proc", type=int, default=8)
