@@ -268,4 +268,246 @@ int ctc_beam_search(const float* probs, int T, int C, int beamsize,
     return n;
 }
 
+// Partial-order-alignment consensus (the reference's spoa / CudaPoaBatch
+// path, ub-bonito/bonito/util.py:440-465 and cli/duplex.py:43-97).
+//
+// Graph POA with per-sequence global alignment (Needleman-Wunsch against
+// the DAG, linear gaps, spoa-like scores 5/-4/-8), node fusion via
+// aligned-variant sets, and heaviest-bundle consensus (max-weight path
+// over edge traversal counts).  Groups here are small (reads of a few
+// hundred bases, tens of copies), so the O(V * L) DP per sequence is fast.
+//
+// C ABI: sequences arrive as one concatenated byte buffer + lengths.
+// Returns the consensus length written to `out`, or -1 on overflow.
+int poa_consensus(const char* seqs, const int* lens, int n_seqs,
+                  char* out, int out_cap) {
+    if (n_seqs <= 0) return 0;
+
+    struct PNode {
+        char base;
+        std::vector<int> pred, pred_w;  // parallel arrays
+        std::vector<int> aln;           // variant nodes in the same column
+    };
+    std::vector<PNode> g;
+    g.reserve(lens[0] * 2);
+
+    // seed the graph with the first sequence as a chain
+    const char* s0 = seqs;
+    for (int i = 0; i < lens[0]; ++i) {
+        PNode n;
+        n.base = s0[i];
+        if (i > 0) {
+            n.pred.push_back((int)g.size() - 1);
+            n.pred_w.push_back(1);
+        }
+        g.push_back(std::move(n));
+    }
+
+    constexpr int PM = 5, PX = -4, PG = -8;
+    const char* sp = seqs + lens[0];
+
+    for (int si = 1; si < n_seqs; ++si) {
+        const char* s = sp;
+        const int L = lens[si];
+        sp += L;
+        if (L == 0) continue;
+        const int V = (int)g.size();
+        if (V == 0) {
+            for (int i = 0; i < L; ++i) {
+                PNode n;
+                n.base = s[i];
+                if (i > 0) {
+                    n.pred.push_back((int)g.size() - 1);
+                    n.pred_w.push_back(1);
+                }
+                g.push_back(std::move(n));
+            }
+            continue;
+        }
+        // fusion can create edges from later-created variant nodes into
+        // earlier nodes, so id order is NOT topological after the first
+        // merge — compute a topo order (Kahn) for the DP sweep.
+        std::vector<int> order, rank(V + 1, 0);
+        order.reserve(V);
+        {
+            std::vector<std::vector<int>> succ(V);
+            std::vector<int> in_deg(V, 0);
+            for (int u = 0; u < V; ++u)
+                for (int p : g[u].pred) {
+                    succ[p].push_back(u);
+                    ++in_deg[u];
+                }
+            for (int u = 0; u < V; ++u)
+                if (in_deg[u] == 0) order.push_back(u);
+            for (size_t h = 0; h < order.size(); ++h)
+                for (int w : succ[order[h]])
+                    if (--in_deg[w] == 0) order.push_back(w);
+        }
+        for (int r = 0; r < V; ++r) rank[order[r]] = r + 1;
+        // DP over (node rank 1..V, seq pos 0..L); rank 0 = virtual source.
+        const int W = L + 1;
+        std::vector<int> H((V + 1) * W);
+        // trace: 0 = diag from pred p, 1 = up (graph gap) from pred p,
+        // 2 = left (seq gap); pred id packed alongside.
+        std::vector<int8_t> tb((V + 1) * W);
+        std::vector<int> tp((V + 1) * W, -1);
+        for (int j = 0; j <= L; ++j) H[j] = j * PG;
+        for (int r = 1; r <= V; ++r) {
+            const PNode& nd = g[order[r - 1]];
+            const int row = r * W;
+            const int n_pred = (int)nd.pred.size();
+            for (int j = 0; j <= L; ++j) {
+                int best = NEG, bt = 2, bp = -1;
+                if (j > 0) {  // seq gap (consume seq char, stay)
+                    best = H[row + j - 1] + PG;
+                    bt = 2;
+                }
+                const int m = (j > 0)
+                    ? ((nd.base == s[j - 1]) ? PM : PX) : 0;
+                if (n_pred == 0) {
+                    const int prow = 0;  // virtual source row
+                    if (j > 0 && H[prow + j - 1] + m > best) {
+                        best = H[prow + j - 1] + m; bt = 0; bp = -1;
+                    }
+                    if (H[prow + j] + PG > best) {
+                        best = H[prow + j] + PG; bt = 1; bp = -1;
+                    }
+                } else {
+                    for (int pi = 0; pi < n_pred; ++pi) {
+                        const int prow = rank[nd.pred[pi]] * W;
+                        if (j > 0 && H[prow + j - 1] + m > best) {
+                            best = H[prow + j - 1] + m;
+                            bt = 0; bp = nd.pred[pi];
+                        }
+                        if (H[prow + j] + PG > best) {
+                            best = H[prow + j] + PG;
+                            bt = 1; bp = nd.pred[pi];
+                        }
+                    }
+                }
+                H[row + j] = best;
+                tb[row + j] = (int8_t)bt;
+                tp[row + j] = bp;
+            }
+        }
+        // global end: best over all sink rows at j == L (any node may end
+        // the alignment; unvisited suffix nodes cost nothing, matching
+        // spoa's semi-global "align to a path" semantics).
+        int ev = 0, escore = NEG;
+        for (int r = 1; r <= V; ++r)
+            if (H[r * W + L] > escore) { escore = H[r * W + L]; ev = r; }
+        // backtrack into (node, seqpos) pairs; r is a rank, order[r-1] the id
+        std::vector<std::pair<int, int>> walk;  // (node id or -1, pos or -1)
+        int r = ev, j = L;
+        while (j > 0 || r > 0) {
+            const int row = r * W;
+            const int8_t t = tb[row + j];
+            if (r == 0) {  // only seq-gap moves remain
+                walk.push_back({-1, j - 1});
+                --j;
+                continue;
+            }
+            if (t == 0) {
+                walk.push_back({order[r - 1], j - 1});
+                const int p = tp[row + j];
+                r = p < 0 ? 0 : rank[p];
+                --j;
+            } else if (t == 1) {
+                walk.push_back({order[r - 1], -1});
+                const int p = tp[row + j];
+                r = p < 0 ? 0 : rank[p];
+            } else {
+                walk.push_back({-1, j - 1});
+                --j;
+            }
+        }
+        std::reverse(walk.begin(), walk.end());
+        // merge the aligned sequence into the graph
+        int prev = -1;
+        for (const auto& [node, pos] : walk) {
+            if (pos < 0) continue;  // node skipped by this sequence
+            const char base = s[pos];
+            int cur = -1;
+            if (node >= 0 && g[node].base == base) {
+                cur = node;
+            } else if (node >= 0) {
+                for (int a : g[node].aln)
+                    if (g[a].base == base) { cur = a; break; }
+            }
+            if (cur < 0) {
+                PNode n;
+                n.base = base;
+                cur = (int)g.size();
+                if (node >= 0) {
+                    n.aln = g[node].aln;
+                    n.aln.push_back(node);
+                    for (int a : n.aln) g[a].aln.push_back(cur);
+                }
+                g.push_back(std::move(n));
+            }
+            if (prev >= 0 && prev != cur) {
+                bool found = false;
+                for (size_t pi = 0; pi < g[cur].pred.size(); ++pi)
+                    if (g[cur].pred[pi] == prev) {
+                        ++g[cur].pred_w[pi];
+                        found = true;
+                        break;
+                    }
+                if (!found) {
+                    g[cur].pred.push_back(prev);
+                    g[cur].pred_w.push_back(1);
+                }
+            }
+            prev = cur;
+        }
+    }
+
+    // Heaviest-bundle consensus: nodes were appended in topological order
+    // EXCEPT fused edges may point from high to low ids (a later-created
+    // variant node can precede an earlier node).  Compute a real topo
+    // order first (Kahn over pred lists).
+    const int V = (int)g.size();
+    std::vector<int> order;
+    order.reserve(V);
+    {
+        std::vector<std::vector<int>> succ(V);
+        std::vector<int> in_deg(V, 0);
+        for (int v = 0; v < V; ++v)
+            for (int p : g[v].pred) {
+                succ[p].push_back(v);
+                ++in_deg[v];
+            }
+        std::vector<int> q;
+        for (int v = 0; v < V; ++v)
+            if (in_deg[v] == 0) q.push_back(v);
+        for (size_t h = 0; h < q.size(); ++h) {
+            const int v = q[h];
+            order.push_back(v);
+            for (int w : succ[v])
+                if (--in_deg[w] == 0) q.push_back(w);
+        }
+        if ((int)order.size() != V) return -1;  // cycle: cannot happen
+    }
+    std::vector<long> score(V, 0);
+    std::vector<int> from(V, -1);
+    long best = -1;
+    int bestv = -1;
+    for (int v : order) {
+        for (size_t pi = 0; pi < g[v].pred.size(); ++pi) {
+            const long cand = score[g[v].pred[pi]] + g[v].pred_w[pi];
+            if (cand > score[v]) {
+                score[v] = cand;
+                from[v] = g[v].pred[pi];
+            }
+        }
+        if (score[v] > best) { best = score[v]; bestv = v; }
+    }
+    std::vector<char> cons;
+    for (int v = bestv; v >= 0; v = from[v]) cons.push_back(g[v].base);
+    if ((int)cons.size() > out_cap) return -1;
+    std::reverse(cons.begin(), cons.end());
+    std::memcpy(out, cons.data(), cons.size());
+    return (int)cons.size();
+}
+
 }  // extern "C"

@@ -77,6 +77,11 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        lib.poa_consensus.restype = ctypes.c_int
+        lib.poa_consensus.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -130,6 +135,22 @@ def ctc_beam_search(probs: np.ndarray, alphabet: str, beamsize: int = 5,
         return None
     return ("".join(alphabet[c] for c in seq[:n]),
             frames[:n].astype(np.int64))
+
+
+def poa_consensus(seqs: list[str]) -> str | None:
+    """Native partial-order-alignment consensus of one group; None when
+    the library is unavailable (caller falls back to utils/poa.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    blobs = [s.encode() for s in seqs]
+    lens = np.array([len(b) for b in blobs], np.int32)
+    cap = int(lens.max(initial=0)) * 2 + 16
+    out = ctypes.create_string_buffer(cap)
+    n = lib.poa_consensus(b"".join(blobs), lens, len(blobs), out, cap)
+    if n < 0:
+        return None
+    return out.raw[:n].decode()
 
 
 def dtw_band(query: np.ndarray, ref: np.ndarray,
