@@ -100,7 +100,7 @@ def _pad_batch(batch: np.ndarray, batchsize: int) -> tuple[np.ndarray, int]:
 
 
 def basecall(model, params, reads: Iterable, chunksize: int = 3600,
-             overlap: int = 500, batchsize: int = 384,
+             overlap: int = 500, batchsize: int = 256,
              reverse: bool = False, compute_dtype=jnp.bfloat16,
              legacy_char_stitch: bool = False,
              qscores: bool = False, cancel=None,
@@ -211,17 +211,17 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
 
 def _left_pack(paths: np.ndarray) -> np.ndarray:
     """Left-pack nonzero labels per chunk (reference crf/basecall.py:58-70):
-    the decoded string's codes padded with zeros to frame length."""
-    out = np.zeros_like(paths)
-    for i, row in enumerate(paths):
-        nz = row[row != 0]
-        out[i, : len(nz)] = nz
-    return out
+    the decoded string's codes padded with zeros to frame length.
+
+    Vectorised: a stable argsort of the zero-mask moves nonzeros left in
+    order; the displaced entries are all zeros already."""
+    order = np.argsort(paths == 0, axis=1, kind="stable")
+    return np.take_along_axis(paths, order, axis=1)
 
 
 def run_basecaller(model, params, reads, fastq_out, summary_out=None,
                    chunksize: int = 3600, overlap: int = 500,
-                   batchsize: int = 384, reverse: bool = False) -> dict:
+                   batchsize: int = 256, reverse: bool = False) -> dict:
     """Drive the full pipeline, writing FASTQ (+ summary); returns timing
     stats incl. the headline samples/s (reference cli/basecaller.py:153-161).
     """
