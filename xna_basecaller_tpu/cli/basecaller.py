@@ -81,6 +81,14 @@ def main(args):
         from xna_basecaller_tpu.data.bam import BamWriter
         bam = BamWriter(args.bam, targets)
 
+    mods_model = None
+    if args.mods_model:
+        from xna_basecaller_tpu.mods import load_mods_model
+        mods_model = load_mods_model(args.mods_model)
+        sys.stderr.write(
+            f"> mods model: {mods_model[0].mod_long_name} "
+            f"({mods_model[0].motif})\n")
+
     summary_fh = open(args.summary, "w") if args.summary else None
     summary_header_written = False
 
@@ -125,13 +133,21 @@ def main(args):
             if ctc_writer is not None:
                 ctc_writer.add(read.signal[:chunksize], seq, mapping,
                                refseq=refseq)
+            mods_tags = None
+            if mods_model is not None and len(seq):
+                from xna_basecaller_tpu.mods import call_mods
+                attrs = call_mods(mods_model, read, attrs)
+                mods_tags = attrs.get("mods")
             if len(seq):
                 if bam is not None:
-                    bam.write(read.read_id, seq, qstring, mapping)
+                    bam.write(read.read_id, seq, qstring, mapping,
+                              tags=mods_tags)
                 if sam is not None:
-                    sam.write(read.read_id, seq, qstring, mapping)
+                    sam.write(read.read_id, seq, qstring, mapping,
+                              tags=mods_tags)
                 elif bam is None:
-                    write_fastq(sys.stdout, read.read_id, seq, qstring)
+                    write_fastq(sys.stdout, read.read_id, seq, qstring,
+                                tags=mods_tags)
             if summary_fh is not None:
                 row = summary_row(read, len(seq), mean_q, alignment=mapping)
                 if not summary_header_written:
@@ -194,4 +210,7 @@ def argparser():
     parser.add_argument("--ctc-min-accuracy", default=0.95, type=float)
     parser.add_argument("--ub-only", action="store_true",
                         help="keep only chunks whose reference contains a UB")
+    parser.add_argument("--mods-model", default=None, metavar="DIR",
+                        help="modified-base model directory (emits MM/ML "
+                             "tags; reference's remora hook, mod_util.py)")
     return parser
