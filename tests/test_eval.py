@@ -318,3 +318,29 @@ def test_confusion_matrix_perfect_reads(tmp_path, poc):
     assert cm.shape == (6, 7)
     off_diag = cm.sum() - np.trace(cm[:, :6])
     assert off_diag == 0 and cm.sum() > 0
+
+
+def test_seed_rescue_falls_back_to_full_scan():
+    """A noisy read whose exact 12-mers all point at a decoy template is
+    rescued by the full scan (align_read rescue_frac cross-check)."""
+    from xna_basecaller_tpu.eval.ref_align import SeedIndex
+    rng = np.random.default_rng(9)
+    t_true = "".join("ACGT"[i] for i in rng.integers(0, 4, 120))
+    t_decoy = "".join("ACGT"[i] for i in rng.integers(0, 4, 120))
+    targets = {"true": t_true, "decoy": t_decoy}
+    # substitutions every 9 bases break every 12-mer seed on t_true...
+    read = list(t_true)
+    for p in range(4, 120, 9):
+        read[p] = "ACGT"[("ACGT".index(read[p]) + 1) % 4]
+    # ...and a 20bp exact decoy fragment gives the seed index a wrong hit
+    read = "".join(read) + t_decoy[:20]
+    idx = SeedIndex(targets)
+    cands = idx.candidates(read)
+    assert all(tid == "decoy" for tid, _ in cands)  # seeds are all wrong
+    rec = align_read("r", read, targets, seed_index=idx)
+    assert rec is not None and rec.target_id == "true"
+    # with the rescue disabled the wrong template wins - the cross-check
+    # is what saves the seeded path
+    rec_trusting = align_read("r", read, targets, seed_index=idx,
+                              rescue_frac=0.0)
+    assert rec_trusting.target_id == "decoy"

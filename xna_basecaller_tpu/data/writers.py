@@ -72,6 +72,21 @@ def read_fastq_quals(path: str) -> dict[str, np.ndarray]:
     return out
 
 
+def read_fastq_seqs_quals(path: str) -> dict[str, tuple[str, str]]:
+    """read_id -> (sequence, quality string)."""
+    out = {}
+    with open(path) as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                break
+            seq = fh.readline().strip()
+            fh.readline()
+            qual = fh.readline().strip()
+            out[h[1:].split()[0].strip()] = (seq, qual)
+    return out
+
+
 def _cigar_from_cs(cs: str) -> str:
     from xna_basecaller_tpu.eval.cs_align import parse_cs
     parts = []

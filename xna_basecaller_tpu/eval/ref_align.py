@@ -107,36 +107,56 @@ class SeedIndex:
 def align_read(read_id: str, seq: str, targets: dict[str, str],
                min_score: int = 30,
                seed_index: SeedIndex | None = None,
-               top_candidates: int = 5) -> PafRecord | None:
+               top_candidates: int = 5,
+               rescue_frac: float = 0.45) -> PafRecord | None:
     """Best local alignment of a read against the templates, both strands.
 
     For UB-aware alignment the read's X/Y are scored as 'N' matches the
     dnafull way (N scores -2 vs everything) by mapping X/Y -> N before SW;
     the cs tag is then built against the N-encoded template, like
-    minimap2's view of the reference fasta.  With a ``seed_index`` only
-    the top seed-hit candidates are SW-aligned (falling back to the full
-    scan when no seed matches).
+    minimap2's view of the reference fasta.
+
+    With a ``seed_index`` only the top seed-hit candidates are SW-aligned.
+    On noisy reads exact 12-mer seeds can all miss (or rank a wrong
+    template first), so the seed path is cross-checked: when the best
+    candidate alignment scores below ``rescue_frac`` of the perfect-match
+    score for its template, the full exhaustive scan re-runs and wins if
+    it finds anything better — the seed index is then purely an
+    accelerator, never a silent accuracy loss.
     """
     seq_n = seq.replace("X", "N").replace("Y", "N")
     rc_n = reverse_complement_str(seq_n)
+
+    def _scan(pairs):
+        best = None
+        for strand, s, tid in pairs:
+            tar = targets[tid]
+            score, cigar, (q0, q1, r0, r1) = sw_align(s, tar)
+            if not cigar or score < min_score:
+                continue
+            if best is None or score > best[0]:
+                best = (score, strand, tid, s, cigar, q0, q1, r0, r1)
+        return best
+
+    full_pairs = [(strand, s, tid)
+                  for strand, s in (("+", seq_n), ("-", rc_n))
+                  for tid in targets]
+    best = None
     if seed_index is not None:
         cands = seed_index.candidates(seq_n, top=top_candidates)
-        pairs = [(strand, seq_n if strand == "+" else rc_n, tid)
-                 for tid, strand in cands]
-    else:
-        pairs = None
-    if not pairs:
-        pairs = [(strand, s, tid)
-                 for strand, s in (("+", seq_n), ("-", rc_n))
-                 for tid in targets]
-    best = None
-    for strand, s, tid in pairs:
-        tar = targets[tid]
-        score, cigar, (q0, q1, r0, r1) = sw_align(s, tar)
-        if not cigar or score < min_score:
-            continue
-        if best is None or score > best[0]:
-            best = (score, strand, tid, s, cigar, q0, q1, r0, r1)
+        best = _scan([(strand, seq_n if strand == "+" else rc_n, tid)
+                      for tid, strand in cands])
+        # rescue: perfect match scores ~5 per aligned base over the
+        # template span; a weak seed-path best may be a wrong template
+        if best is not None:
+            perfect = 5 * min(len(seq_n), len(targets[best[2]]))
+            if best[0] >= rescue_frac * perfect:
+                full_pairs = None  # seed result is trusted
+    if full_pairs is not None:
+        full_best = _scan(full_pairs)
+        if full_best is not None and (
+                best is None or full_best[0] > best[0]):
+            best = full_best
     if best is None:
         return None
     score, strand, tid, s, cigar, q0, q1, r0, r1 = best
