@@ -203,3 +203,33 @@ def test_lstm_pallas_batch_tiled_matches_single_tile():
         assert cs.shape == (T, N, H)
     finally:
         pl.pallas_call = orig
+
+
+def test_decode_paths_batch_tiled_matches_untiled():
+    """decode_paths_pallas tiles big batches via lax.map; tiles must
+    reproduce the untiled result exactly."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import crf_pallas
+    from xna_basecaller_tpu.ops import crf as crf_ops
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        n_base, state_len = 4, 2
+        T, N = 12, 8
+        C = (n_base + 1) * n_base ** state_len
+        scores = jax.random.normal(jax.random.key(0), (T, N, C), jnp.float32)
+        want = crf_ops.decode_paths(scores, n_base, state_len)
+        # force the tiled path (bn=4 -> 2 tiles) through the impl helper
+        tiles = jnp.transpose(scores.reshape(T, 2, 4, C), (1, 0, 2, 3))
+        got = jax.lax.map(
+            lambda s: crf_pallas._decode_paths_impl(
+                s, n_base, state_len, True), tiles).reshape(N, -1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        pl.pallas_call = orig

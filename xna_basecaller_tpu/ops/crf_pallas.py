@@ -180,8 +180,29 @@ def decode_paths_pallas(scores, n_base: int, state_len: int,
     """Fused reference decode chain on TPU: scores -> labels [N, T].
 
     Bit-compatible with ops.crf.decode_paths (same per-step op order).
+    Batches beyond the VMEM-safe size are decoded in tiles via lax.map
+    (one compiled body, sequential over tiles) — the per-step Viterbi
+    blocks hold [ns, n_base+1, N] f32 plus double buffering, which
+    overflows the 16MB scoped budget past N ≈ 256 at ns=216.
     """
     scores = scores.astype(jnp.float32)
+    T, N, C = scores.shape
+    MAX_N = 256
+    if N > MAX_N and not interpret:
+        bn = next((b for b in (256, 192, 128, 96, 64) if N % b == 0), None)
+        if bn is not None:
+            k = N // bn
+            tiles = jnp.transpose(
+                scores.reshape(T, k, bn, C), (1, 0, 2, 3))
+            labels = jax.lax.map(
+                lambda s: _decode_paths_impl(s, n_base, state_len,
+                                             interpret), tiles)
+            return labels.reshape(N, -1)
+    return _decode_paths_impl(scores, n_base, state_len, interpret)
+
+
+def _decode_paths_impl(scores, n_base: int, state_len: int,
+                       interpret: bool = False):
     T, N, C = scores.shape
     ns = n_base ** state_len
     nsd = ns // n_base
