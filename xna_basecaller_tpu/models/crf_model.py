@@ -136,7 +136,15 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
         x = lstm_stack_forward_pallas(params["rnn"], rnn_directions(cfg), x)
     else:
         dirs = rnn_directions(cfg)
-        from xna_basecaller_tpu.ops.lstm import lstm_forward
+        if is_tpu():
+            # training on TPU: fused Pallas forward + analytic custom-VJP
+            # backward (lstm_pallas.py:193-251); same layer loop so the
+            # inter-layer dropout placement is unchanged
+            from xna_basecaller_tpu.ops.lstm_pallas import (
+                lstm_forward_pallas_trainable as lstm_forward,
+            )
+        else:
+            from xna_basecaller_tpu.ops.lstm import lstm_forward
         for i, (layer, rev) in enumerate(zip(params["rnn"], dirs)):
             x = lstm_forward(layer, x, reverse=rev)
             if i < len(dirs) - 1:  # last layer's dropout sits in the head
