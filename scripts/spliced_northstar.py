@@ -148,9 +148,17 @@ def phase_b_bootstrap_data(args, boot_dir):
         writer = CtcDataWriter(ctc_dir, min_coverage=0.2,
                                min_accuracy=args.ctc_min_acc,
                                ub_only=ub_only, log=log)
-        # DNA reads align against the pc-ified templates
-        targets = (refs.targets if with_ubs else
-                   {t: s.replace("N", "A") for t, s in refs.targets.items()})
+        # DNA reads align against the pc-ified templates; both kinds go
+        # through a seed index (align_read's rescue_frac cross-check
+        # falls back to the exhaustive scan on weak hits, so seeding is
+        # purely an accelerator — without it the DNA pass is 2048 SW
+        # calls per chunk on one core and dominates phase B wall time)
+        if with_ubs:
+            targets, s_idx = refs.targets, seed_index
+        else:
+            targets = {t: s.replace("N", "A")
+                       for t, s in refs.targets.items()}
+            s_idx = SeedIndex(targets)
         n_in = 0
         for read, attrs in basecall(model, params, chunk_reads(),
                                     chunksize=3600, overlap=500,
@@ -160,8 +168,7 @@ def phase_b_bootstrap_data(args, boot_dir):
             if not seq:
                 writer.add(read.signal, seq, None)
                 continue
-            rec = align_read(read.read_id, seq, targets,
-                             seed_index=seed_index if with_ubs else None)
+            rec = align_read(read.read_id, seq, targets, seed_index=s_idx)
             mapping = rec.as_dict() if rec else None
             refseq = None
             if rec is not None:
