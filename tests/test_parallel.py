@@ -140,3 +140,37 @@ def test_two_process_distributed_train_step(tmp_path):
     assert np.isclose(result["param_sum"], param_sum, rtol=1e-5)
     assert np.isclose(result["metrics"]["loss"], float(loss), rtol=1e-5)
     assert result["metrics"]["pid"] == 0.5  # mean of pids 0,1 across hosts
+
+
+def test_sharded_inference_matches_single_device():
+    """Mesh-sharded score+decode == single-device result (8 CPU devices)."""
+    import numpy as np
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.infer.basecall import compute_scores
+    from xna_basecaller_tpu.infer.sharded import (
+        make_sharded_scorer, sharded_compute_scores,
+    )
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.parallel import mesh as mesh_lib
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    batch = np.random.default_rng(0).normal(
+        size=(16, 1000)).astype(np.float32)
+
+    want = compute_scores(model, params, batch)["path"]
+    got = sharded_compute_scores(model, params, batch, mesh)["path"]
+    np.testing.assert_array_equal(got, want)
+
+    # padding path: 13 rows over 8 devices
+    got13 = sharded_compute_scores(model, params, batch[:13], mesh)["path"]
+    np.testing.assert_array_equal(got13, want[:13])
+
+    # qscores variant returns per-frame confidences too
+    scorer = make_sharded_scorer(model, params, mesh, qscores=True)
+    paths, probs = scorer(batch)
+    np.testing.assert_array_equal(paths, want)
+    assert probs.shape == paths.shape
