@@ -127,3 +127,20 @@ def test_cli_convert_chunkify(tmp_path):
     assert chunks.shape[1] == 800 and chunks.dtype == np.float16
     assert len(chunks) == len(refs) == len(lens) > 0
     assert refs.max() <= 4 and refs.min() >= 0
+
+
+def test_cli_evaluate_multi_weights_poa(model_dir, tmp_path, capsys):
+    """Comma-separated --weights sweep + --poa ensemble consensus
+    (the reference's intended evaluate.py:84 behaviour)."""
+    model, params, cfg = load_model(model_dir)
+    ckpt.save_checkpoint(model_dir, 2, params)  # second checkpoint
+    data_dir = tmp_path / "data"
+    chunks, refs, lens, bkps = simulate_ctc_dataset(
+        8, chunk_len=400, target_len=50)
+    save_ctc_data(str(data_dir), chunks, refs, lens, bkps)
+    cli_main(["evaluate", model_dir, "--directory", str(data_dir),
+              "--batchsize", "4", "--chunks", "8",
+              "--weights", "1,2", "--poa"])
+    out = capsys.readouterr().out
+    assert out.count("* mean") == 2        # one sweep line per checkpoint
+    assert "* poa mean" in out
