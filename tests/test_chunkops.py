@@ -112,3 +112,25 @@ def test_batchify_dict_results_roundtrip():
     out = dict(unbatchify(iter(batches)))
     np.testing.assert_array_equal(out["a"]["x"], reads[0][1])
     np.testing.assert_array_equal(out["b"]["y"], reads[1][1] * 2)
+
+
+def test_load_script_escape_hatch(tmp_path):
+    """dataset.py with a Loader class drives custom data loading
+    (reference data.py:89-96)."""
+    from xna_basecaller_tpu.data.ctc_data import load_script
+
+    (tmp_path / "dataset.py").write_text(
+        "import numpy as np\n"
+        "from xna_basecaller_tpu.data.ctc_data import ChunkDataset\n"
+        "def _mk(n):\n"
+        "    return ChunkDataset(\n"
+        "        np.zeros((n, 100), np.float16),\n"
+        "        np.ones((n, 10), np.uint8),\n"
+        "        np.full((n,), 10, np.uint16))\n"
+        "class Loader:\n"
+        "    def train_dataset(self, **kw):\n"
+        "        return _mk(8)\n"
+        "    def valid_dataset(self, **kw):\n"
+        "        return _mk(2)\n")
+    train, valid = load_script(str(tmp_path))
+    assert len(train) == 8 and len(valid) == 2

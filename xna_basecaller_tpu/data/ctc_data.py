@@ -146,6 +146,30 @@ def load_datasets(directory: str, limit: int | None = None,
     return train, valid
 
 
+def load_script(directory: str, name: str = "dataset",
+                suffix: str = ".py", **kwargs):
+    """Custom-dataset escape hatch (reference data.py:89-96): import
+    ``<directory>/dataset.py``, instantiate its ``Loader``, and return
+    (train, valid) datasets.
+
+    The Loader may expose either the TPU-idiomatic
+    ``train_dataset(**kw)/valid_dataset(**kw)`` (returning ChunkDataset-
+    shaped objects) or the reference's
+    ``train_loader_kwargs/valid_loader_kwargs`` (dicts whose ``dataset``
+    entry is used)."""
+    import importlib.util
+
+    filepath = os.path.join(directory, name + suffix)
+    spec = importlib.util.spec_from_file_location(name, filepath)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    loader = module.Loader()
+    if hasattr(loader, "train_dataset"):
+        return loader.train_dataset(**kwargs), loader.valid_dataset(**kwargs)
+    return (loader.train_loader_kwargs(**kwargs)["dataset"],
+            loader.valid_loader_kwargs(**kwargs)["dataset"])
+
+
 def merge_ctc_dirs(out_dir: str, *dirs: str, limits=None,
                    load_bkps: bool = True, seed: int = 25) -> int:
     """Merge several ctc-data directories into one (shuffled).
