@@ -102,6 +102,10 @@ def main(args):
         refseq = targets[rec.target_id][rec.target_start:rec.target_end]
         return rec.as_dict(), refseq
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
     t0 = perf_counter()
     n_reads = 0
     n_samples = 0
@@ -156,6 +160,10 @@ def main(args):
                 summary_fh.write(
                     "\t".join(str(v) for v in row.values()) + "\n")
         duration = perf_counter() - t0
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+            sys.stderr.write(f"> profile trace: {args.profile}\n")
         if bam is not None:
             bam.close()
         if ctc_writer is not None:
@@ -213,4 +221,7 @@ def argparser():
     parser.add_argument("--mods-model", default=None, metavar="DIR",
                         help="modified-base model directory (emits MM/ML "
                              "tags; reference's remora hook, mod_util.py)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace (XLA + Pallas "
+                             "kernel timeline) for the run to DIR")
     return parser

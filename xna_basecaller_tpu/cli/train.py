@@ -107,7 +107,14 @@ def main(args):
     )
     if params0 is not None:
         trainer.initial_params = params0
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     trainer.fit(workdir, epochs=args.epochs)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        sys.stderr.write(f"[profile trace: {args.profile}]\n")
 
 
 def argparser():
@@ -129,6 +136,8 @@ def argparser():
     parser.add_argument("--grad-accum-split", default=1, type=int)
     parser.add_argument("--restore-optim", action="store_true")
     parser.add_argument("--save-optim-every", default=10, type=int)
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the fit to DIR")
     parser.add_argument("--skip-top", action="store_true",
                         help="drop CRF head weights from pretrained load")
     parser.add_argument("--drop-rate", default=None, type=float)
