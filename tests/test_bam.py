@@ -140,3 +140,20 @@ def test_sam_to_paf_records(tmp_path, targets):
     assert rec["alignment_block_length"] == 20
     assert rec["cs"] == ""
     assert 0 < rec["percent_match"] <= 1
+
+
+def test_read_group_headers_and_tags(tmp_path, targets):
+    import io as _io
+    fh = _io.StringIO()
+    sw = SamWriter(fh, targets, read_group="runX_model")
+    sw.write("r1", "ACGT", "IIII", None)
+    out = fh.getvalue()
+    assert "@RG\tID:runX_model\tPL:ONT" in out
+    assert "RG:Z:runX_model" in out
+
+    path = str(tmp_path / "rg.bam")
+    bw = BamWriter(path, targets, read_group="runX_model")
+    bw.write("r1", "ACGT", "IIII", None, tags=["qs:i:12"])
+    bw.close()
+    _, (rec,) = read_bam(path)
+    assert rec["tags"] == ["RG:Z:runX_model", "qs:i:12"]

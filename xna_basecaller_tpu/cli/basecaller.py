@@ -71,15 +71,20 @@ def main(args):
     else:
         ctc_writer = None
 
+    # read group <model_name> (reference io.py:86-111 uses
+    # <run_id>_<model>; run_id is per-read here, so the stable part)
+    import os
+    read_group = args.read_group or os.path.basename(
+        os.path.normpath(args.model_directory))
     sam = None
     if args.sam and targets is not None:
-        sam = SamWriter(sys.stdout, targets)
+        sam = SamWriter(sys.stdout, targets, read_group=read_group)
     bam = None
     if args.bam is not None:
         if targets is None:
             sys.exit("--bam requires --reference")
         from xna_basecaller_tpu.data.bam import BamWriter
-        bam = BamWriter(args.bam, targets)
+        bam = BamWriter(args.bam, targets, read_group=read_group)
 
     mods_model = None
     if args.mods_model:
@@ -221,6 +226,9 @@ def argparser():
     parser.add_argument("--mods-model", default=None, metavar="DIR",
                         help="modified-base model directory (emits MM/ML "
                              "tags; reference's remora hook, mod_util.py)")
+    parser.add_argument("--read-group", default=None,
+                        help="@RG id for SAM/BAM output (default: model "
+                             "directory name)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace (XLA + Pallas "
                              "kernel timeline) for the run to DIR")

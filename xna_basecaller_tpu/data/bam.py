@@ -179,14 +179,17 @@ class BamWriter:
     (reference io.py:379-445)."""
 
     def __init__(self, path: str, targets: dict[str, str] | None = None,
-                 program: str = "xnacall"):
+                 program: str = "xnacall", read_group: str | None = None):
         self.raw = open(path, "wb")
         self.bgzf = BgzfWriter(self.raw)
+        self.read_group = read_group
         targets = targets or {}
         self.ref_ids = {name: i for i, name in enumerate(targets)}
         text = "@HD\tVN:1.5\tSO:unknown\n"
         for name, seq in targets.items():
             text += f"@SQ\tSN:{name}\tLN:{len(seq)}\n"
+        if read_group:
+            text += f"@RG\tID:{read_group}\tPL:ONT\n"
         text += f"@PG\tID:basecaller\tPN:{program}\n"
         text_b = text.encode()
         self.bgzf.write(b"BAM\x01" + struct.pack("<i", len(text_b)) + text_b)
@@ -199,6 +202,8 @@ class BamWriter:
     def write(self, read_id: str, seq: str, qstring: str,
               mapping: dict | None = None, tags: list[str] | None = None):
         fields = sam_record_fields(read_id, seq, qstring, mapping)
+        if self.read_group:
+            tags = [f"RG:Z:{self.read_group}"] + (tags or [])
         self.bgzf.write(encode_bam_record(fields, self.ref_ids, tags))
 
     def close(self) -> None:

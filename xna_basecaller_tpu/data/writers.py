@@ -143,20 +143,28 @@ def sam_record_fields(read_id: str, seq: str, qstring: str,
 
 
 class SamWriter:
-    """Minimal text SAM writer (reference io.py:379-445 without pysam)."""
+    """Minimal text SAM writer (reference io.py:379-445 without pysam).
+
+    ``read_group`` emits an @RG header (reference io.py:86-111 builds it
+    as ``<run_id>_<model>``) and stamps every record with RG:Z."""
 
     def __init__(self, fd, targets: dict[str, str] | None = None,
-                 program: str = "xnacall"):
+                 program: str = "xnacall", read_group: str | None = None):
         self.fd = fd
+        self.read_group = read_group
         fd.write("@HD\tVN:1.5\tSO:unknown\n")
         if targets:
             for name, seq in targets.items():
                 fd.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+        if read_group:
+            fd.write(f"@RG\tID:{read_group}\tPL:ONT\n")
         fd.write(f"@PG\tID:basecaller\tPN:{program}\n")
 
     def write(self, read_id: str, seq: str, qstring: str,
               mapping: dict | None = None, tags: list[str] | None = None):
         fields = sam_record_fields(read_id, seq, qstring, mapping)
+        if self.read_group:
+            fields.append(f"RG:Z:{self.read_group}")
         if tags:
             fields += tags
         self.fd.write("\t".join(fields) + "\n")
