@@ -148,3 +148,32 @@ def test_duplex_pairs_plumbing(monkeypatch):
     assert dup.read_id == "t1;duplex"
     assert dup.sequence == seq
     assert dup.template_id == "t1" and dup.complement_id == "c1"
+
+
+def test_summary_tsv_fixed_schema_roundtrip(tmp_path):
+    """Aligned + unmapped reads produce a rectangular summary TSV that
+    pandas (and find_follow_on) can consume."""
+    from types import SimpleNamespace
+
+    from xna_basecaller_tpu.data.writers import summary_row
+
+    read = SimpleNamespace(read_id="r1", filename="f", run_id="run",
+                           channel=1, mux=1, start=0.0, duration=1.0,
+                           template_start=0.0, template_duration=1.0)
+    mapping = dict(target_id="T1", target_start=5, target_end=25,
+                   read_start=2, read_end=22, strand="+",
+                   alignment_block_length=20, n_matches=19,
+                   percent_match=0.95, target_cover=0.9)
+    r1 = summary_row(read, 100, 12.0, alignment=mapping)
+    read.read_id = "r2"
+    r2 = summary_row(read, 80, 9.0, alignment=None)
+    assert list(r1) == list(r2)  # identical schema either way
+    p = tmp_path / "summary.tsv"
+    with open(p, "w") as fh:
+        fh.write("\t".join(r1) + "\n")
+        fh.write("\t".join(str(v) for v in r1.values()) + "\n")
+        fh.write("\t".join(str(v) for v in r2.values()) + "\n")
+    df = pd.read_csv(p, sep="\t")
+    assert list(df.read_id) == ["r1", "r2"]
+    assert df.alignment_genome.tolist() == ["T1", "*"]
+    assert df.alignment_coverage.tolist() == [0.9, 0.0]

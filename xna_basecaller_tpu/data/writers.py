@@ -187,21 +187,23 @@ def summary_row(read, seqlen: int, mean_qscore: float,
         "sequence_length_template": seqlen,
         "mean_qscore_template": mean_qscore,
     }
-    if alignment is not None:
-        row.update({
-            "alignment_genome": alignment["target_id"],
-            "alignment_genome_start": alignment["target_start"],
-            "alignment_genome_end": alignment["target_end"],
-            "alignment_strand_start": alignment["read_start"],
-            "alignment_strand_end": alignment["read_end"],
-            "alignment_direction": alignment["strand"],
-            "alignment_length": alignment["alignment_block_length"],
-            "alignment_num_correct": alignment["n_matches"],
-            "alignment_identity": alignment["percent_match"],
-            "alignment_coverage": alignment["target_cover"],
-        })
-    elif alignment is False or alignment is None:
-        row.update({"alignment_genome": "*"})
+    # fixed schema: unmapped reads get '*'/0 defaults so every row has
+    # the same columns (the reference's Writer does the same,
+    # io.py:190-237; ragged TSVs break pandas consumers like the duplex
+    # pair finder)
+    a = alignment or {}
+    row.update({
+        "alignment_genome": a.get("target_id", "*"),
+        "alignment_genome_start": a.get("target_start", 0),
+        "alignment_genome_end": a.get("target_end", 0),
+        "alignment_strand_start": a.get("read_start", 0),
+        "alignment_strand_end": a.get("read_end", 0),
+        "alignment_direction": a.get("strand", "*"),
+        "alignment_length": a.get("alignment_block_length", 0),
+        "alignment_num_correct": a.get("n_matches", 0),
+        "alignment_identity": a.get("percent_match", 0.0),
+        "alignment_coverage": a.get("target_cover", 0.0),
+    })
     return row
 
 
