@@ -208,7 +208,12 @@ def _trainable_bwd(res, dys):
     T, N, H4 = xp.shape
     H = H4 // 4
     f32 = jnp.float32
-    w = w_hh.astype(f32)
+    # MXU inputs stay in the forward's compute dtype (bf16 in training —
+    # f32 matmuls run at ~1/4 MXU rate on v5e and dominated the step);
+    # every accumulation (gate math, dc/dh chains, dw) is f32.
+    mm = xp.dtype
+    w = w_hh.astype(mm)
+    wT = w_hh.astype(mm).T
 
     ys_prev = jnp.concatenate(
         [jnp.zeros((1, N, H), ys.dtype), ys[:-1]], axis=0)
@@ -218,8 +223,9 @@ def _trainable_bwd(res, dys):
     def step(carry, inp):
         dh_carry, dc_carry, dw_acc = carry
         dy_t, h_prev, c_prev, c_t, xp_t = inp
+        h_prev_mm = h_prev.astype(mm)
         gates = xp_t.astype(f32) + jnp.dot(
-            h_prev.astype(f32), w, preferred_element_type=f32)
+            h_prev_mm, w, preferred_element_type=f32)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -235,9 +241,10 @@ def _trainable_bwd(res, dys):
             di * i * (1 - i), df * f * (1 - f),
             dg * (1 - g * g), do * o * (1 - o)], axis=1)
         dxp_t = dgates
-        dw_acc = dw_acc + jnp.dot(h_prev.astype(f32).T, dgates,
+        dgates_mm = dgates.astype(mm)
+        dw_acc = dw_acc + jnp.dot(h_prev_mm.T, dgates_mm,
                                   preferred_element_type=f32)
-        dh_prev = jnp.dot(dgates, w.T, preferred_element_type=f32)
+        dh_prev = jnp.dot(dgates_mm, wT, preferred_element_type=f32)
         dc_prev = dc * f
         return (dh_prev, dc_prev, dw_acc), dxp_t
 
