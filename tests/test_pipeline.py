@@ -269,3 +269,27 @@ def test_basecall_with_cancel_stops_early():
                         batchsize=4, cancel=cancel))
     assert 0 < len(out) < 50
     assert all(isinstance(attrs["sequence"], str) for _, attrs in out)
+
+
+def test_basecall_quantized_uploads_match(tiny_model):
+    """int8 quantized uploads (basecaller --quantize): the 1/24
+    quantisation step must leave the score tensor essentially unchanged.
+    (Decode strings from a RANDOM-init model are chaotic under any input
+    perturbation, so the assertion is on scores — the physical quantity —
+    not on decoded text.)"""
+    import jax.numpy as jnp
+
+    from xna_basecaller_tpu.models.crf_model import QUANT_SCALE, forward
+
+    model, params = tiny_model
+    sig = np.asarray(
+        list(simulate_reads(1, mean_len=2400, seed=5))[0].signal[:2400],
+        np.float32)[None]
+    f16 = forward(params, jnp.asarray(sig, jnp.float16), model.cfg)
+    q = np.clip(np.rint(sig * QUANT_SCALE), -127, 127).astype(np.int8)
+    qs = forward(params, jnp.asarray(q), model.cfg)
+    diff = np.abs(np.asarray(f16) - np.asarray(qs))
+    # scores live in [-5, 5] (tanh x scale); quantisation shifts them by
+    # far less than the decision margins the decoder works with
+    assert np.mean(diff) < 0.05, np.mean(diff)
+    assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)

@@ -128,7 +128,8 @@ def main(args):
             model, params, reads, chunksize=chunksize,
             overlap=cfg.basecaller.overlap,
             batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
-            qscores=args.qscores, cancel=cancel)
+            qscores=args.qscores, cancel=cancel,
+            quantize=args.quantize or cfg.basecaller.quantize)
     try:
         for read, attrs in called:
             n_reads += 1
@@ -226,6 +227,10 @@ def argparser():
     parser.add_argument("--mods-model", default=None, metavar="DIR",
                         help="modified-base model directory (emits MM/ML "
                              "tags; reference's remora hook, mod_util.py)")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 signal uploads (half the host->device "
+                             "bytes; dequantised on device — the TPU "
+                             "analog of the reference's --quantize)")
     parser.add_argument("--read-group", default=None,
                         help="@RG id for SAM/BAM output (default: model "
                              "directory name)")

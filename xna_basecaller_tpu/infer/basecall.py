@@ -104,7 +104,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              reverse: bool = False, compute_dtype=jnp.bfloat16,
              legacy_char_stitch: bool = False,
              qscores: bool = False, cancel=None,
-             stitch_workers: int = 4) -> Iterator:
+             stitch_workers: int = 4, quantize: bool = False) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
@@ -115,10 +115,15 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     the read producer early for a clean Ctrl-C shutdown; the decode-side
     host work (stitch + string building) runs on ``stitch_workers`` ordered
     threads (reference ThreadMap, multiprocessing.py:231-266).
+    ``quantize`` uploads the signal as int8 (round(sig * QUANT_SCALE),
+    half the bytes of f16 over the relay-limited link; dequantised on
+    device) — the TPU analog of the reference's --quantize
+    (util.py:304-309 koi int8 graph).
     """
     stride = model.stride
     qbias = model.cfg.qscore.bias
     qscale = model.cfg.qscore.scale
+    up_dtype = np.int8 if quantize else np.float16
 
     def gen_chunks():
         for read in reads:
@@ -132,11 +137,15 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     batches = thread_iter(chunkops.batchify(iter(chunks), batchsize))
 
     def gen_uploads():
-        # dedicated H2D stage: pad to the fixed shape, cast to f16 (half the
-        # bytes over the host<->device link) and upload ahead of compute
+        # dedicated H2D stage: pad to the fixed shape, cast to f16 (half
+        # the bytes over the host<->device link; int8 with quantize=True,
+        # half again) and upload ahead of compute
         for keys, batch in batches:
             padded, n = _pad_batch(np.asarray(batch), batchsize)
-            dev = jax.device_put(np.asarray(padded, np.float16))
+            if quantize:
+                from xna_basecaller_tpu.models.crf_model import QUANT_SCALE
+                padded = np.clip(np.rint(padded * QUANT_SCALE), -127, 127)
+            dev = jax.device_put(np.asarray(padded, up_dtype))
             yield keys, n, dev
 
     uploads = thread_iter(gen_uploads(), maxsize=3)
@@ -221,7 +230,8 @@ def _left_pack(paths: np.ndarray) -> np.ndarray:
 
 def run_basecaller(model, params, reads, fastq_out, summary_out=None,
                    chunksize: int = 3600, overlap: int = 500,
-                   batchsize: int = 256, reverse: bool = False) -> dict:
+                   batchsize: int = 256, reverse: bool = False,
+                   quantize: bool = False) -> dict:
     """Drive the full pipeline, writing FASTQ (+ summary); returns timing
     stats incl. the headline samples/s (reference cli/basecaller.py:153-161).
     """
@@ -230,7 +240,7 @@ def run_basecaller(model, params, reads, fastq_out, summary_out=None,
     n_samples = 0
     for read, attrs in basecall(
             model, params, reads, chunksize=chunksize, overlap=overlap,
-            batchsize=batchsize, reverse=reverse):
+            batchsize=batchsize, reverse=reverse, quantize=quantize):
         n_reads += 1
         n_samples += len(read.signal)
         fastq_out.write(

@@ -29,6 +29,11 @@ from xna_basecaller_tpu.ops import crf as crf_ops
 from xna_basecaller_tpu.ops.conv import conv_stack_forward, init_conv_stack
 from xna_basecaller_tpu.ops.lstm import init_lstm_stack
 
+# int8 quantisation scale for the quantized-upload inference path:
+# normalised signal (med/MAD ~ N(0,1)) spans +-5.3 sigma at step 1/24 —
+# ~60x smaller than the simulator's within-event noise floor.
+QUANT_SCALE = 24.0
+
 
 def init_linear(key, insize: int, size: int, dtype=jnp.float32):
     """torch.nn.Linear default init (kaiming-uniform / fan-in uniform)."""
@@ -107,6 +112,12 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
     conv/LSTM layer (reference crf/model.py:183-200).
     """
     enc = cfg.encoder
+    if signal.dtype == jnp.int8:
+        # quantized upload path (basecaller.quantize): the host sends the
+        # normalised signal as round(sig * QUANT_SCALE) int8 — half the
+        # bytes of f16 over the relay-limited host->device link —
+        # dequantised here before the conv stack
+        signal = signal.astype(jnp.float32) * (1.0 / QUANT_SCALE)
     if signal.ndim == 2:
         signal = signal[..., None]
 
