@@ -80,6 +80,17 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
+    # int8 quantized uploads (--quantize): halves the H2D bytes, which is
+    # the measured pipeline ceiling on the tunneled link.
+    q_best = 0.0
+    for i in range(2):
+        q = run_basecaller(
+            model, params, iter(reads), io.StringIO(), None,
+            chunksize=chunksize, overlap=overlap, batchsize=batchsize,
+            quantize=True)
+        q_best = max(q_best, q["samples_per_s"])
+    print(f"[bench] quantized: {q_best:.2e} samples/s", file=sys.stderr)
+
     # Pure device compute (forward + fused decode, no host pipeline/IO):
     # the ceiling the pipeline is chasing (VERDICT round-1 weak #5 asked
     # for this number to be captured in the BENCH artifact).
@@ -99,6 +110,7 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 4),
         "pure_device_samples_per_s_per_chip": round(device_sps, 1),
+        "quantized_samples_per_s_per_chip": round(q_best, 1),
         "train_samples_per_s_per_chip": round(train_sps, 1),
     }))
 
