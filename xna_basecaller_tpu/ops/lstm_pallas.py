@@ -221,11 +221,10 @@ def _trainable_bwd(res, dys):
         [jnp.zeros((1, N, H), cs.dtype), cs[:-1]], axis=0)
 
     def step(carry, inp):
-        dh_carry, dc_carry, dw_acc = carry
+        dh_carry, dc_carry = carry
         dy_t, h_prev, c_prev, c_t, xp_t = inp
-        h_prev_mm = h_prev.astype(mm)
         gates = xp_t.astype(f32) + jnp.dot(
-            h_prev_mm, w, preferred_element_type=f32)
+            h_prev.astype(mm), w, preferred_element_type=f32)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -240,18 +239,19 @@ def _trainable_bwd(res, dys):
         dgates = jnp.concatenate([
             di * i * (1 - i), df * f * (1 - f),
             dg * (1 - g * g), do * o * (1 - o)], axis=1)
-        dxp_t = dgates
-        dgates_mm = dgates.astype(mm)
-        dw_acc = dw_acc + jnp.dot(h_prev_mm.T, dgates_mm,
-                                  preferred_element_type=f32)
-        dh_prev = jnp.dot(dgates_mm, wT, preferred_element_type=f32)
+        dh_prev = jnp.dot(dgates.astype(mm), wT,
+                          preferred_element_type=f32)
         dc_prev = dc * f
-        return (dh_prev, dc_prev, dw_acc), dxp_t
+        return (dh_prev, dc_prev), dgates
 
-    init = (jnp.zeros((N, H), f32), jnp.zeros((N, H), f32),
-            jnp.zeros((H, H4), f32))
-    (_, _, dw), dxp = jax.lax.scan(
+    init = (jnp.zeros((N, H), f32), jnp.zeros((N, H), f32))
+    _, dxp = jax.lax.scan(
         step, init, (dys, ys_prev, cs_prev, cs, xp), reverse=True)
+    # dw hoisted out of the scan: one big MXU matmul over all timesteps
+    # (sum_t h_{t-1}^T dgates_t) instead of a per-step accumulator —
+    # cuts the sequential recursion from 3 matmuls/step to 2.
+    dw = jnp.einsum("tnh,tng->hg", ys_prev.astype(mm), dxp.astype(mm),
+                    preferred_element_type=f32)
     return dxp.astype(xp.dtype), dw.astype(w_hh.dtype)
 
 
