@@ -233,3 +233,46 @@ def test_decode_paths_batch_tiled_matches_untiled():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     finally:
         pl.pallas_call = orig
+
+
+def test_full_model_grads_pallas_trainable_match_scan():
+    """forward() on the (mocked) TPU training path — Pallas-trainable
+    LSTM layers — must produce the same loss gradients as the CPU scan
+    path for a multi-layer model."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.models import crf_model
+    from xna_basecaller_tpu.utils import platform
+
+    orig_call = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=3))
+    params = crf_model.init_params(jax.random.key(0), cfg)
+    sig = jax.random.normal(jax.random.key(1), (4, 400), jnp.float32)
+
+    def loss(p):
+        scores = crf_model.forward(p, sig, cfg, compute_dtype=jnp.float32)
+        return (scores ** 2).mean()
+
+    g_scan = jax.grad(loss)(params)
+
+    pl.pallas_call = patched
+    orig_is_tpu = platform.is_tpu
+    platform.is_tpu = lambda: True
+    try:
+        jax.clear_caches()  # forward() is jitted; force a re-trace
+        g_pallas = jax.grad(loss)(params)
+    finally:
+        platform.is_tpu = orig_is_tpu
+        pl.pallas_call = orig_call
+        jax.clear_caches()
+
+    flat1, _ = jax.tree.flatten(g_scan)
+    flat2, _ = jax.tree.flatten(g_pallas)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
