@@ -232,6 +232,10 @@ def phase_d_validate(args, workdir):
         int(m.group(1)) for f in glob(os.path.join(workdir, "weights_*.npz"))
         if (m := re.search(r"weights_(\d+)\.npz$", f))
         and not os.path.islink(f) and not f.endswith("weights_99.npz")})
+    # long trainings: validate a subset of checkpoints (always the last)
+    last = epochs[-1] if epochs else 0
+    epochs = [e for e in epochs
+              if e >= args.val_from and (e % args.val_every == 0 or e == last)]
     fastq_per_epoch = {}
     template = model.init_template() if hasattr(model, "init_template") \
         else None
@@ -299,6 +303,10 @@ def main():
     p.add_argument("--jitter", action="store_true",
                    help="domain-randomise the bootstrap-data signal regime")
     p.add_argument("--val-reads", type=int, default=300)
+    p.add_argument("--val-every", type=int, default=1,
+                   help="validate every k-th epoch checkpoint (plus the last)")
+    p.add_argument("--val-from", type=int, default=0,
+                   help="skip per-epoch validation below this epoch")
     p.add_argument("--test-reads", type=int, default=400)
     p.add_argument("--n-proc", type=int, default=8)
     args = p.parse_args()
