@@ -165,6 +165,42 @@ def _permute_transform(key, sig, valid_len, win: int):
     return sig[jnp.argsort(sort_key)]
 
 
+def availability_mask(target, length, tbl_counts, ub_codes,
+                      kmer_len: int = KMER_LEN):
+    """[L] bool: positions whose 6 covering-k-mer donor buckets are all
+    non-empty for every UB in ``ub_codes``.
+
+    The reference picks positions blind and falls back unmodified when a
+    bucket has no exact-k-mer candidate (stitch_chunks.py:392-430) — cheap
+    there because its slice library (~190k reads) covers nearly all 1024
+    contexts.  With a bootstrapped (sparser) library, blind picking wastes
+    most insertion attempts; masking the choice up front keeps the
+    requested UB exposure without relaxing the exact-context match.
+    """
+    L = target.shape[0]
+    zt = jnp.clip(target - 1, 0, 5)
+    natural = (target >= 1) & (target <= 4)
+    pos_idx = jnp.arange(L)
+
+    ok = jnp.ones(L, bool)
+    for ki in range(kmer_len):
+        # context code for the k-mer with the UB at kmer_ub_pos = 5-ki:
+        # after (t[pos+1 .. pos+ki]) then before (t[pos-(5-ki) .. pos-1])
+        ctx = jnp.zeros(L, jnp.int32)
+        good = jnp.ones(L, bool)
+        rel = [1 + j for j in range(ki)] + \
+              [-(kmer_len - 1 - ki) + j for j in range(kmer_len - 1 - ki)]
+        for r in rel:
+            p = pos_idx + r
+            pc = jnp.clip(p, 0, L - 1)
+            ctx = ctx * 4 + jnp.clip(zt[pc], 0, 3)
+            good = good & natural[pc] & (p >= 0) & (p < length)
+        kup = kmer_len - 1 - ki
+        for code in ub_codes:
+            ok = ok & good & (tbl_counts[code - 5, kup, ctx] > 0)
+    return ok
+
+
 @partial(jax.jit, static_argnames=("prop_ubs", "max_stitches", "pad",
                                    "cand_sample_size", "ub_codes",
                                    "noise_std", "noise_mode",
@@ -215,8 +251,10 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
     n_pos = jnp.maximum(
         jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
     n_pos = jnp.minimum(n_pos, max_stitches)
-    pos_w = (position_weights(target, length, weight_table)
-             if weight_table is not None else None)
+    avail = availability_mask(target, length, tbl_counts, ub_codes)
+    pos_w = avail.astype(jnp.float32)
+    if weight_table is not None:
+        pos_w = pos_w * position_weights(target, length, weight_table)
     picks = _choose_positions(k_pos, length, n_pos, max_stitches, pad,
                               ub_window, L, weights=pos_w)
     picked = picks >= 0
