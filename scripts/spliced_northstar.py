@@ -68,59 +68,16 @@ def phase_a_bootstrap(args, cfg_dir):
     return workdir
 
 
-def _sim_library_reads(refs, rng, n_reads, with_ubs, regime,
-                       read_len_chunks, jitter=False):
-    """Simulated library reads: template (xna or pc-ified) + flanks,
-    repeated to span read_len_chunks device chunks.
-
-    jitter=True randomises the signal regime per read (±15% rate, ±40%
-    dwell/noise spread) — domain randomisation for the *training* data
-    only, so the spliced model generalises beyond one fixed simulator
-    setting; the held-out eval regime stays untouched."""
-    from xna_basecaller_tpu.core.alphabet import encode, reverse_complement_str
-    from xna_basecaller_tpu.data.pore_model import load_pore_model
-    from xna_basecaller_tpu.data.simulate import (
-        REGIMES, SimReadObj, simulate_squiggle,
-    )
-
-    pore = load_pore_model()
-    base_kw = REGIMES[regime]
-    tids = refs.xna_targets_id
-    for i in range(n_reads):
-        kw = base_kw
-        if jitter:
-            kw = dict(
-                base_kw,
-                samples_per_base=base_kw["samples_per_base"]
-                * float(rng.uniform(0.85, 1.15)),
-                dwell_std=base_kw["dwell_std"] * float(rng.uniform(0.7, 1.4)),
-                noise_std=base_kw["noise_std"] * float(rng.uniform(0.7, 1.4)))
-        tid = tids[int(rng.integers(len(tids)))]
-        tar = refs.targets[tid]
-        tar = tar.replace("N", "X") if with_ubs else tar.replace("N", "A")
-        if rng.random() < 0.5:
-            tar = reverse_complement_str(tar)
-        flank = "".join("ACGT"[j] for j in rng.integers(0, 4, 60))
-        seq = flank + tar + flank
-        # repeat template blocks so the signal covers the requested number
-        # of device chunks with margin (dwell is stochastic)
-        need = int(read_len_chunks * 3600 * 1.25 / kw["samples_per_base"])
-        seq = seq * max(1, -(-need // len(seq)))
-        codes = encode(seq)
-        sig, _ = simulate_squiggle(codes, pore, rng, **kw)
-        yield SimReadObj(read_id=f"{tid}_{i}", signal=sig, sequence=seq)
-
-
 def phase_b_bootstrap_data(args, boot_dir):
+    from xna_basecaller_tpu.data.simulate import sim_library_reads
     from xna_basecaller_tpu.data.writers import CtcDataWriter
-    from xna_basecaller_tpu.eval.ref_align import SeedIndex, align_read
+    from xna_basecaller_tpu.eval.construct_align import from_refs
     from xna_basecaller_tpu.eval.xna_refs import XnaRefs
     from xna_basecaller_tpu.infer.basecall import basecall
     from xna_basecaller_tpu.tools.dtw_segmentation import dtw_segmentation
     from xna_basecaller_tpu.utils.model_io import load_model
 
     refs = XnaRefs(args.exp)
-    seed_index = SeedIndex(refs.targets)
     out = {}
     model, params, cfg = load_model(boot_dir)
     for kind, with_ubs, n_reads, ub_only in (
@@ -136,7 +93,7 @@ def phase_b_bootstrap_data(args, boot_dir):
 
         def chunk_reads():
             from xna_basecaller_tpu.data.simulate import SimReadObj
-            for read in _sim_library_reads(
+            for read in sim_library_reads(
                     refs, rng, n_reads, with_ubs, "default",
                     read_len_chunks=args.read_chunks, jitter=args.jitter):
                 sig = read.signal
@@ -145,35 +102,37 @@ def phase_b_bootstrap_data(args, boot_dir):
                         read_id=f"{read.read_id}:{j}",
                         signal=sig[j * 3600:(j + 1) * 3600])
 
-        writer = CtcDataWriter(ctc_dir, min_coverage=0.2,
+        # reference coverage gate (io.py:505): >=90% of the basecall must
+        # align, which with full-construct fragment reads also means the
+        # stored target covers essentially all of the chunk's signal
+        writer = CtcDataWriter(ctc_dir, min_coverage=0.9,
                                min_accuracy=args.ctc_min_acc,
                                ub_only=ub_only, log=log)
-        # DNA reads align against the pc-ified templates; both kinds go
-        # through a seed index (align_read's rescue_frac cross-check
-        # falls back to the exhaustive scan on weak hits, so seeding is
-        # purely an accelerator — without it the DNA pass is 2048 SW
-        # calls per chunk on one core and dominates phase B wall time)
-        if with_ubs:
-            targets, s_idx = refs.targets, seed_index
-        else:
-            targets = {t: s.replace("N", "A")
-                       for t, s in refs.targets.items()}
-            s_idx = SeedIndex(targets)
-        n_in = 0
-        for read, attrs in basecall(model, params, chunk_reads(),
-                                    chunksize=3600, overlap=500,
-                                    batchsize=args.batch):
-            n_in += 1
+        # two-stage construct aligner: canonical-backbone SW + insert
+        # demux (eval/construct_align.py) — the minimap2-vs-refdb.fasta
+        # equivalent of the reference's --save-ctc path
+        aligner = from_refs(refs, with_ubs=with_ubs)
+
+        def _align(item):
+            read, attrs = item
             seq = attrs["sequence"]
+            rec = aligner.align(read.read_id, seq) if seq else None
+            return read, seq, rec
+
+        n_in = 0
+        # native SW/levenshtein release the GIL -> thread map scales
+        from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
+        for read, seq, rec in ordered_thread_map(
+                _align,
+                basecall(model, params, chunk_reads(), chunksize=3600,
+                         overlap=500, batchsize=args.batch),
+                n_workers=args.n_proc, maxsize=8):
+            n_in += 1
             if not seq:
                 writer.add(read.signal, seq, None)
                 continue
-            rec = align_read(read.read_id, seq, targets, seed_index=s_idx)
             mapping = rec.as_dict() if rec else None
-            refseq = None
-            if rec is not None:
-                refseq = targets[rec.target_id][
-                    rec.target_start:rec.target_end]
+            refseq = aligner.refseq(rec) if rec is not None else None
             writer.add(read.signal, seq, mapping, refseq=refseq)
         n_kept = writer.save()
         log(f"> [B] {kind}: {n_kept}/{n_in} chunks kept "
@@ -215,15 +174,17 @@ def phase_d_validate(args, workdir):
     cfg = config_lib.load(workdir)
     model = Model(cfg)
 
+    from xna_basecaller_tpu.data.simulate import sim_library_reads
+
     # held-out-regime eval reads, fixed across epochs
     rng = np.random.default_rng(777)
-    val_reads = list(_sim_library_reads(
+    val_reads = list(sim_library_reads(
         refs, rng, args.val_reads, True, "heldout", read_len_chunks=1))
-    test_reads = list(_sim_library_reads(
+    test_reads = list(sim_library_reads(
         refs, rng, args.test_reads, True, "heldout", read_len_chunks=1))
     # matched in-distribution test set for the circularity comparison
     rng2 = np.random.default_rng(778)
-    test_reads_ind = list(_sim_library_reads(
+    test_reads_ind = list(sim_library_reads(
         refs, rng2, args.test_reads, True, "default", read_len_chunks=1))
 
     import re
@@ -295,8 +256,8 @@ def main():
                    help="spliced-training epochs")
     p.add_argument("--boot-epochs", type=int, default=10)
     p.add_argument("--boot-chunks", type=int, default=12288)
-    p.add_argument("--xna-reads", type=int, default=1500)
-    p.add_argument("--dna-reads", type=int, default=2500)
+    p.add_argument("--xna-reads", type=int, default=6000)
+    p.add_argument("--dna-reads", type=int, default=5000)
     p.add_argument("--read-chunks", type=int, default=2,
                    help="device chunks per simulated bootstrap read")
     p.add_argument("--ctc-min-acc", type=float, default=0.85)

@@ -120,6 +120,72 @@ def simulate_reads(n_reads: int, mean_len: int = 20000, seed: int = 0,
             sequence=decode(codes, BASES, drop_blank=False))
 
 
+def jitter_regime(kw: dict, rng) -> dict:
+    """Domain-randomise a signal regime (±15% rate, ±40% dwell/noise
+    spread) — used for *training*-side reads only so the spliced model
+    generalises beyond one fixed simulator setting; held-out eval regimes
+    stay untouched."""
+    return dict(
+        kw,
+        samples_per_base=kw["samples_per_base"] * float(rng.uniform(0.85, 1.15)),
+        dwell_std=kw["dwell_std"] * float(rng.uniform(0.7, 1.4)),
+        noise_std=kw["noise_std"] * float(rng.uniform(0.7, 1.4)))
+
+
+def sim_library_reads(refs, rng, n_reads: int, with_ubs: bool,
+                      regime: str = "default", read_len_chunks: int = 2,
+                      jitter: bool = False, center_ub: bool | None = None,
+                      chunk_len: int = 3600,
+                      pore: PoreModel | None = None):
+    """Simulated library reads: FRAGMENTS of the full-length vector
+    construct, like real nanopore reads of library molecules.
+
+    Reads are contiguous substrings of ``refs.full_targets[tid]`` (~2.7 kb
+    construct, reference xna_libs/CPLX/refdb.fasta) with the UB kept as
+    X/Y (with_ubs) or pc-ified to A.  Because the read is a single pass
+    over construct sequence, every basecalled 3600-sample chunk aligns to
+    the construct with near-full coverage — the property the reference's
+    CTC-data builder gates on (io.py:505, cov >= 0.90) and the one that
+    makes stored targets cover the whole chunk signal.
+
+    center_ub (default: with_ubs) places the UB uniformly inside the
+    fragment so insert-covering chunks are produced at a useful rate;
+    DNA reads sample the construct uniformly.
+    """
+    from xna_basecaller_tpu.core.alphabet import (
+        encode, reverse_complement_str)
+
+    pore = pore or load_pore_model()
+    base_kw = REGIMES[regime]
+    if center_ub is None:
+        center_ub = with_ubs
+    full = refs.full_targets
+    tids = refs.xna_targets_id
+    for i in range(n_reads):
+        kw = jitter_regime(base_kw, rng) if jitter else base_kw
+        tid = tids[int(rng.integers(len(tids)))]
+        construct = full[tid]
+        construct = (construct.replace("N", "X") if with_ubs
+                     else construct.replace("N", "A"))
+        strand = "+" if rng.random() < 0.5 else "-"
+        if strand == "-":
+            construct = reverse_complement_str(construct)
+        frag = int(read_len_chunks * chunk_len * 1.25
+                   / kw["samples_per_base"])
+        frag = min(frag, len(construct))
+        if center_ub and with_ubs:
+            ub_char = "X" if strand == "+" else "Y"
+            ubp = construct.index(ub_char)
+            start = ubp - int(rng.uniform(0.15, 0.85) * frag)
+            start = max(0, min(start, len(construct) - frag))
+        else:
+            start = int(rng.integers(0, len(construct) - frag + 1))
+        seq = construct[start:start + frag]
+        codes = encode(seq)
+        sig, _ = simulate_squiggle(codes, pore, rng, **kw)
+        yield SimReadObj(read_id=f"{tid}_{i}", signal=sig, sequence=seq)
+
+
 def simulate_ctc_dataset(n_chunks: int, chunk_len: int = 3600,
                          target_len: int = 400, seed: int = 0,
                          ub_prop: float = 0.0,

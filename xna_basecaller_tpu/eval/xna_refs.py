@@ -162,6 +162,39 @@ class XnaRefs:
         self.barcodes_cnt = {t: all_bcs.count(b)
                              for t, b in self.barcodes.items()}
 
+    # ------------------------------------------------------------------
+    # Full-length construct library.  Real library molecules are ~2.7 kb
+    # vector constructs with the short template embedded; reads are
+    # fragments of the construct, so every basecalled chunk aligns with
+    # near-full coverage (reference xna_libs/CPLX/refdb.fasta: 1024
+    # records, identical backbone outside the insert at [1214, 1303),
+    # UB as 'X' at position 1274; verified record-exact against
+    # backbone[:1214] + refdb_short[tid] + backbone[1303:]).
+    # POC libraries ship no full refdb; their constructs reuse the CPLX
+    # backbone flanks around each short template (simulation scaffold).
+    # ------------------------------------------------------------------
+    _BACKBONE_INSERT = (1214, 1303)  # canonical insert span in backbone
+
+    @property
+    def full_targets(self) -> dict[str, str]:
+        """tid -> full-length construct, UBs encoded 'N' (like targets)."""
+        if not hasattr(self, "_full_targets"):
+            lo, hi = self._BACKBONE_INSERT
+            backbone = read_fasta(os.path.join(
+                ASSETS_LIBS, "CPLX", "backbone.fasta"))["backbone_AAAAA"]
+            left, right = backbone[:lo], backbone[hi:]
+            self._full_targets = {
+                tid: left + tar + right
+                for tid, tar in self.targets.items()}
+            self.insert_span = (lo, lo + max(
+                len(t) for t in self.targets.values()))
+        return self._full_targets
+
+    def full_ub_positions(self, tid: str) -> list[int]:
+        """UB positions of ``tid`` in full-construct coordinates."""
+        lo = self._BACKBONE_INSERT[0]
+        return [lo + p for p in self.x_pos[tid]]
+
     def locate_read(self, barcode_start, barcode_end, target_id, strand,
                     length):
         """Read-coordinate span of the template region from the barcode
