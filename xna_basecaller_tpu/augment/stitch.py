@@ -340,10 +340,21 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
         src_len = jnp.stack(
             [tbl_lens[ub_idx, kmer_ub_pos[ki], tpls[ki], bests[ki]]
              for ki in range(KMER_LEN)])          # [6]
-        src_idx = jnp.clip(
-            (within * src_len[which]) // jnp.maximum(reps[which], 1),
-            0, MAX_KMER_SPAN - 1)
-        span_sig = src_sig[which, src_idx]        # [MAX_SPAN]
+        # boundary-aware linear resampling: each k-mer slice is stretched/
+        # shrunk to its dwell span independently, with linear interpolation
+        # WITHIN the k-mer only — the reference's composite interpolation
+        # builds per-kmer linspace sample points for exactly this reason
+        # ("Avoid interpolation between different kmers",
+        # stitch_chunks.py:247-261); fractional positions are lerped like
+        # its np.interp, never across a k-mer boundary.
+        pos_f = within * src_len[which] / jnp.maximum(reps[which], 1)
+        i0 = jnp.clip(jnp.floor(pos_f).astype(jnp.int32),
+                      0, MAX_KMER_SPAN - 1)
+        i1 = jnp.minimum(i0 + 1,
+                         jnp.maximum(src_len[which] - 1, 0))
+        frac = jnp.clip(pos_f - i0, 0.0, 1.0)
+        span_sig = (src_sig[which, i0] * (1.0 - frac)
+                    + src_sig[which, i1] * frac)  # [MAX_SPAN]
         if permute_win_size:
             span_sig = _permute_transform(
                 noise_keys[i, 1, 0], span_sig, total, permute_win_size)
