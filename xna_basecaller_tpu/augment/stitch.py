@@ -262,119 +262,112 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
 
     codes = jnp.asarray(ub_codes, jnp.int32)
     ub_choice = jax.random.randint(k_ub, (max_stitches,), 0, len(ub_codes))
-    spiked_ubs = codes[ub_choice]
+    spiked_ubs = codes[ub_choice]                     # [M]
 
-    cand_keys = jax.random.split(k_cand, max_stitches * KMER_LEN
-                                 ).reshape(max_stitches, KMER_LEN, -1)
-    noise_keys = jax.random.split(k_noise, max_stitches * KMER_LEN
-                                  ).reshape(max_stitches, KMER_LEN, -1)
     zt = jnp.clip(target - 1, 0, 5)  # 0-based base codes
     cap = tbl_lens.shape[3]
+    M = max_stitches
 
-    def body(i, carry):
-        new_chunk, new_target, any_success = carry
-        pos = safe_picks[i]
-        active = picked[i]
-        ub_code = spiked_ubs[i]
-        ub_idx = ub_code - 5
+    # ------------------------------------------------------------------
+    # All insertions are computed as one batched block (positions from
+    # _choose_positions are >= pad+1 apart, so their half-open signal
+    # spans [bkps[pos-6], bkps[pos]) are pairwise disjoint and a single
+    # masked scatter replaces the former sequential fori_loop — ~3x
+    # cheaper on TPU where tiny per-iteration VPU steps don't pipeline).
+    # ------------------------------------------------------------------
+    pos = safe_picks                                   # [M]
+    ub_idx = spiked_ubs - 5                            # [M]
 
-        ins_st = bkps[jnp.clip(pos - KMER_LEN, 0, L - 1)]
-        ins_en = bkps[pos]
+    ins_st = bkps[jnp.clip(pos - KMER_LEN, 0, L - 1)]  # [M]
+    ins_en = bkps[pos]                                 # [M]
 
-        # per-k-mer dwell spans from the original read's breakpoints
-        kb = jnp.stack([bkps[jnp.clip(pos - KMER_LEN + j, 0, L - 1)]
-                        for j in range(KMER_LEN + 1)])
-        reps = jnp.diff(kb)                       # [6]
-        reps = jnp.clip(reps, 1, MAX_KMER_SPAN)
+    # per-k-mer dwell spans from the original read's breakpoints
+    kb = bkps[jnp.clip(pos[:, None] - KMER_LEN
+                       + jnp.arange(KMER_LEN + 1)[None, :], 0, L - 1)]
+    reps = jnp.clip(jnp.diff(kb, axis=1), 1, MAX_KMER_SPAN)      # [M, 6]
 
-        # context codes for each covering k-mer (rotated template):
-        # tpl(kmer_idx) = target[pos+1 .. pos+kmer_idx]
-        #               + target[pos-(5-kmer_idx) .. pos-1], base-4
-        def tpl_for(kmer_idx):
-            after = [zt[jnp.clip(pos + 1 + j, 0, L - 1)]
-                     for j in range(kmer_idx)]
-            before = [zt[jnp.clip(pos - (5 - kmer_idx) + j, 0, L - 1)]
-                      for j in range(5 - kmer_idx)]
-            bases = after + before
-            code = jnp.int32(0)
-            for b in bases:
-                code = code * 4 + jnp.clip(b, 0, 3)
-            return code
+    # context codes for each covering k-mer (rotated template):
+    # tpl(kmer_idx) = target[pos+1 .. pos+kmer_idx]
+    #               + target[pos-(5-kmer_idx) .. pos-1], base-4
+    rel = np.array([[1 + j for j in range(ki)]
+                    + [-(KMER_LEN - 1 - ki) + j
+                       for j in range(KMER_LEN - 1 - ki)]
+                    for ki in range(KMER_LEN)])        # [6, 5] static
+    ctx = jnp.clip(zt[jnp.clip(pos[:, None, None] + rel[None], 0, L - 1)],
+                   0, 3)                               # [M, 6, 5]
+    tpls = ((((ctx[..., 0] * 4 + ctx[..., 1]) * 4 + ctx[..., 2]) * 4
+             + ctx[..., 3]) * 4 + ctx[..., 4])         # [M, 6]
+    kmer_ub_pos = jnp.arange(KMER_LEN - 1, -1, -1)     # [6]
 
-        tpls = jnp.stack([tpl_for(ki) for ki in range(KMER_LEN)])  # [6]
-        kmer_ub_pos = jnp.arange(KMER_LEN - 1, -1, -1)             # [6]
+    # candidate selection per (stitch, k-mer): sample cand_sample_size
+    # from the bucket, keep the closest in length to the local dwell span
+    cnt = tbl_counts[ub_idx[:, None], kmer_ub_pos[None, :], tpls]  # [M,6]
+    valid = jnp.arange(cap)[None, None, :] < cnt[..., None]    # [M,6,cap]
+    r = jax.random.uniform(k_cand, (M, KMER_LEN, cap))
+    r = jnp.where(valid, r, 1e9)
+    order = jnp.argsort(r, axis=-1)[..., :cand_sample_size]    # [M,6,S]
+    cl_full = tbl_lens[ub_idx[:, None], kmer_ub_pos[None, :], tpls]
+    cl = jnp.take_along_axis(cl_full, order, axis=-1)          # [M,6,S]
+    sampled_valid = jnp.take_along_axis(valid, order, axis=-1)
+    diff = jnp.where(sampled_valid,
+                     jnp.abs(cl - reps[..., None]), 10 ** 6)
+    best = jnp.take_along_axis(
+        order, jnp.argmin(diff, axis=-1)[..., None], axis=-1)[..., 0]
+    all_ok = jnp.all(cnt > 0, axis=-1)                 # [M]
+    do_it = picked & all_ok                            # [M]
 
-        # candidate selection per k-mer
-        def pick_candidate(ki):
-            cnt = tbl_counts[ub_idx, kmer_ub_pos[ki], tpls[ki]]
-            valid = jnp.arange(cap) < cnt
-            r = jax.random.uniform(cand_keys[i, ki, 0], (cap,))
-            r = jnp.where(valid, r, 1e9)
-            order = jnp.argsort(r)
-            sampled = order[:cand_sample_size]
-            cl = tbl_lens[ub_idx, kmer_ub_pos[ki], tpls[ki]][sampled]
-            sampled_valid = valid[sampled]
-            diff = jnp.where(sampled_valid,
-                             jnp.abs(cl - reps[ki]), 10 ** 6)
-            best = sampled[jnp.argmin(diff)]
-            ok = cnt > 0
-            return best, ok
+    src_sig = tbl_signals[ub_idx[:, None], kmer_ub_pos[None, :],
+                          tpls, best]                  # [M, 6, MAXK]
+    src_len = jnp.take_along_axis(cl_full, best[..., None],
+                                  axis=-1)[..., 0]     # [M, 6]
 
-        bests, oks = zip(*[pick_candidate(ki) for ki in range(KMER_LEN)])
-        bests = jnp.stack(bests)
-        all_ok = jnp.all(jnp.stack(oks))
-        do_it = active & all_ok
+    # compose each span: k-mer slices resampled to their dwell spans.
+    # Boundary-aware linear resampling: linear interpolation WITHIN the
+    # k-mer only — the reference's composite interpolation builds
+    # per-kmer linspace sample points for exactly this reason ("Avoid
+    # interpolation between different kmers", stitch_chunks.py:247-261);
+    # fractional positions are lerped like its np.interp, never across
+    # a k-mer boundary.
+    offsets = jnp.concatenate(
+        [jnp.zeros((M, 1), reps.dtype), jnp.cumsum(reps, axis=1)], axis=1)
+    total = offsets[:, -1]                             # [M]
+    samp = jnp.arange(MAX_SPAN)
+    which = jnp.clip(
+        jnp.sum(samp[None, :, None] >= offsets[:, None, 1:-1], axis=-1),
+        0, KMER_LEN - 1)                               # [M, MAX_SPAN]
+    off_g = jnp.take_along_axis(offsets, which, axis=1)
+    within = samp[None, :] - off_g                     # [M, MAX_SPAN]
+    reps_g = jnp.take_along_axis(reps, which, axis=1)
+    len_g = jnp.take_along_axis(src_len, which, axis=1)
+    pos_f = within * len_g / jnp.maximum(reps_g, 1)
+    i0 = jnp.clip(jnp.floor(pos_f).astype(jnp.int32), 0, MAX_KMER_SPAN - 1)
+    i1 = jnp.minimum(i0 + 1, jnp.maximum(len_g - 1, 0))
+    frac = jnp.clip(pos_f - i0, 0.0, 1.0)
+    m_idx = jnp.arange(M)[:, None]
+    span_sig = (src_sig[m_idx, which, i0] * (1.0 - frac)
+                + src_sig[m_idx, which, i1] * frac)    # [M, MAX_SPAN]
 
-        # compose the span: each k-mer slice resampled to its dwell span
-        offsets = jnp.concatenate([jnp.zeros((1,), reps.dtype),
-                                   jnp.cumsum(reps)])
-        total = offsets[-1]
-        samp = jnp.arange(MAX_SPAN)
-        which = jnp.clip(
-            jnp.searchsorted(offsets[1:], samp, side="right"), 0,
-            KMER_LEN - 1)
-        within = samp - offsets[which]
-        src_sig = jnp.stack(
-            [tbl_signals[ub_idx, kmer_ub_pos[ki], tpls[ki], bests[ki]]
-             for ki in range(KMER_LEN)])          # [6, MAXK]
-        src_len = jnp.stack(
-            [tbl_lens[ub_idx, kmer_ub_pos[ki], tpls[ki], bests[ki]]
-             for ki in range(KMER_LEN)])          # [6]
-        # boundary-aware linear resampling: each k-mer slice is stretched/
-        # shrunk to its dwell span independently, with linear interpolation
-        # WITHIN the k-mer only — the reference's composite interpolation
-        # builds per-kmer linspace sample points for exactly this reason
-        # ("Avoid interpolation between different kmers",
-        # stitch_chunks.py:247-261); fractional positions are lerped like
-        # its np.interp, never across a k-mer boundary.
-        pos_f = within * src_len[which] / jnp.maximum(reps[which], 1)
-        i0 = jnp.clip(jnp.floor(pos_f).astype(jnp.int32),
-                      0, MAX_KMER_SPAN - 1)
-        i1 = jnp.minimum(i0 + 1,
-                         jnp.maximum(src_len[which] - 1, 0))
-        frac = jnp.clip(pos_f - i0, 0.0, 1.0)
-        span_sig = (src_sig[which, i0] * (1.0 - frac)
-                    + src_sig[which, i1] * frac)  # [MAX_SPAN]
+    if permute_win_size or noise_std:
+        t_keys = jax.random.split(k_noise, 2 * M).reshape(M, 2, -1)
         if permute_win_size:
-            span_sig = _permute_transform(
-                noise_keys[i, 1, 0], span_sig, total, permute_win_size)
+            span_sig = jax.vmap(
+                lambda k, s, t: _permute_transform(k, s, t,
+                                                   permute_win_size)
+            )(t_keys[:, 1, 0], span_sig, total)
         if noise_std:
-            span_sig = _noise_transform(
-                noise_keys[i, 0, 0], span_sig, noise_std, noise_mode)
+            span_sig = jax.vmap(
+                lambda k, s: _noise_transform(k, s, noise_std, noise_mode)
+            )(t_keys[:, 0, 0], span_sig)
 
-        write_mask = (samp < jnp.minimum(total, ins_en - ins_st)) & do_it
-        idx = jnp.clip(ins_st + samp, 0, T - 1)
-        cur = new_chunk[idx]
-        new_chunk = new_chunk.at[idx].set(
-            jnp.where(write_mask, span_sig, cur))
-        new_target = new_target.at[pos].set(
-            jnp.where(do_it, ub_code, new_target[pos]))
-        return new_chunk, new_target, any_success | do_it
-
-    out_chunk, out_target, success = jax.lax.fori_loop(
-        0, max_stitches, body,
-        (chunk, target, jnp.asarray(False)))
-    return out_chunk, out_target, success
+    # one masked scatter for all spans (disjoint; masked lanes -> drop)
+    write_len = jnp.minimum(total, ins_en - ins_st)    # [M]
+    write_mask = (samp[None, :] < write_len[:, None]) & do_it[:, None]
+    tgt_idx = jnp.where(write_mask, ins_st[:, None] + samp[None, :], T)
+    out_chunk = chunk.at[tgt_idx.reshape(-1)].set(
+        span_sig.reshape(-1).astype(chunk.dtype), mode="drop")
+    tpos = jnp.where(do_it, pos, L)
+    out_target = target.at[tpos].set(spiked_ubs, mode="drop")
+    return out_chunk, out_target, do_it.any()
 
 
 _UB_CODE_MAP = {"X": (5,), "Y": (6,), "XY": (5, 6)}
