@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""BASELINE configs #2-#4: the reference's three "quick run" trainings.
+
+Reference README.md:99-106 defines three ~20-minute POC trainings (DNA
+data sampled_0.01, ubs X, ub_prop 0.10, batch 98, 1 epoch) and their
+UB-accuracy bars:
+
+  fully-synthetic (spike --fully_synth)  ~25% UB acc
+  hybrid          (spike)                ~10% UB acc
+  spliced         (stitch per_kmer)      ~15% UB acc
+
+This script runs the same matrix end-to-end on the TPU build: bootstrap
+POC ctc-data (full-construct fragment reads, eval/construct_align demux),
+one-epoch training per mode via the real cli/train path, then held-out
+regime evaluation through the full basecall -> align -> analyze chain.
+Results land in <out>/quickrun_summary.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import scripts.spliced_northstar as ns
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+MODES = {
+    "fully_synth": ["--spike", "--fully-synth"],
+    "hybrid": ["--spike"],
+    "spliced": ["--stitch"],
+}
+
+
+def train_mode(args, mode, boot_dir, dna_dir, xna_dir):
+    from xna_basecaller_tpu.cli.train import argparser, main as train_main
+
+    workdir = os.path.join(args.out, f"{mode}-ubs_{args.ubs}")
+    if os.path.exists(os.path.join(workdir, f"weights_{args.epochs}.npz")):
+        log(f"> [{mode}] trained, skipping")
+        return workdir
+    argv = [workdir, "--directory", dna_dir, "--pretrained", boot_dir,
+            "--ubs", args.ubs, "--ub-prop", str(args.ub_prop),
+            "--epochs", str(args.epochs), "--batch", str(args.batch),
+            "--lr", str(args.lr), "-f"] + MODES[mode]
+    if mode == "spliced":
+        argv += ["--xna-ctc-dir", xna_dir]
+    log(f"> [{mode}] training: {' '.join(argv)}")
+    train_main(argparser().parse_args(argv))
+    return workdir
+
+
+def eval_mode(args, workdir, reads, tag):
+    import jax
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.infer.basecall import run_basecaller
+    from xna_basecaller_tpu.models.crf_model import Model, init_params
+    from xna_basecaller_tpu.tools.eval_model import eval_model
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = config_lib.load(workdir)
+    model = Model(cfg)
+    params = ckpt.load_tree(
+        init_params(jax.random.key(0), cfg),
+        os.path.join(workdir, f"weights_{args.epochs}.npz"))
+    out_dir = os.path.join(workdir, "basecalls")
+    os.makedirs(out_dir, exist_ok=True)
+    fq = os.path.join(out_dir, f"reads-{args.exp}-{tag}.fastq")
+    if not (os.path.exists(fq) and os.path.getsize(fq)):
+        with open(fq, "w") as fh:
+            run_basecaller(model, params, iter(reads), fh,
+                           chunksize=3600, overlap=500,
+                           batchsize=args.batch)
+    return eval_model(args.exp, out_dir, split=tag, reads_fastq=fq,
+                      ubs=args.ubs, log=log)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", default="POC")
+    p.add_argument("--out", default="/tmp/quickrun_matrix")
+    p.add_argument("--boot-model",
+                   default="/tmp/ns_cplx_r2b/bootstrap_model",
+                   help="phase-A bootstrap basecaller to reuse")
+    p.add_argument("--ubs", default="X")
+    p.add_argument("--ub-prop", type=float, default=0.10)
+    p.add_argument("--batch", type=int, default=98)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--xna-reads", type=int, default=1500)
+    p.add_argument("--dna-reads", type=int, default=1200)
+    p.add_argument("--read-chunks", type=int, default=2)
+    p.add_argument("--ctc-min-acc", type=float, default=0.85)
+    p.add_argument("--jitter", action="store_true")
+    p.add_argument("--val-reads", type=int, default=300)
+    p.add_argument("--n-proc", type=int, default=8)
+    p.add_argument("--modes", default="fully_synth,hybrid,spliced")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from xna_basecaller_tpu.data.simulate import sim_library_reads
+    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
+
+    t0 = time.time()
+    xna_dir, dna_dir = ns.phase_b_bootstrap_data(args, args.boot_model)
+
+    refs = XnaRefs(args.exp)
+    rng = np.random.default_rng(999)
+    val_reads = list(sim_library_reads(
+        refs, rng, args.val_reads, True, "heldout", read_len_chunks=1))
+
+    results = {}
+    for mode in args.modes.split(","):
+        workdir = train_mode(args, mode, args.boot_model, dna_dir, xna_dir)
+        res = eval_mode(args, workdir, val_reads, "val")
+        results[mode] = {k: v for k, v in res.items()
+                         if isinstance(v, (int, float))}
+        log(f"> [{mode}] {json.dumps(results[mode])}")
+
+    summary = {
+        "exp": args.exp, "ubs": args.ubs, "epochs": args.epochs,
+        "batch": args.batch, "wall_seconds": int(time.time() - t0),
+        "reference_bars": {"fully_synth": 0.25, "hybrid": 0.10,
+                           "spliced": 0.15},
+        "results": results,
+    }
+    with open(os.path.join(args.out, "quickrun_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    log(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
