@@ -129,6 +129,141 @@ int sw_align(const char* q, int nq, const char* r, int nr,
     return best;
 }
 
+// Batched Levenshtein demux: edit distance of q against n candidate
+// strings (concatenated in cands, candidate i at [offsets[i], offsets[i+1])),
+// with Ukkonen-style early abandon once a row's minimum exceeds the best
+// distance so far.  Returns the index of the first minimum; writes the
+// best distance into *best_dist.  One native call replaces n
+// python->ctypes round-trips in the construct aligner's insert demux.
+int lev_demux(const char* q, int nq, const char* cands,
+              const int* offsets, int n, int* best_dist) {
+    int best = 1 << 30, best_i = -1;
+    std::vector<int> prev(nq + 1), cur(nq + 1);
+    for (int c = 0; c < n; ++c) {
+        const char* b = cands + offsets[c];
+        const int nb = offsets[c + 1] - offsets[c];
+        const int lo_bound = nb > nq ? nb - nq : nq - nb;
+        if (lo_bound >= best) continue;
+        for (int j = 0; j <= nq; ++j) prev[j] = j;
+        int row_min = 0;
+        int i = 1;
+        for (; i <= nb; ++i) {
+            cur[0] = i;
+            row_min = i;
+            const char cb = b[i - 1];
+            for (int j = 1; j <= nq; ++j) {
+                const int d = prev[j - 1] + (cb != q[j - 1]);
+                int v = prev[j] + 1;
+                const int l = cur[j - 1] + 1;
+                if (l < v) v = l;
+                if (d < v) v = d;
+                cur[j] = v;
+                if (v < row_min) row_min = v;
+            }
+            if (row_min >= best) break;  // cannot improve
+            std::swap(prev, cur);
+        }
+        if (i > nb && prev[nq] < best) {
+            best = prev[nq];
+            best_i = c;
+        }
+    }
+    if (best_dist) *best_dist = best;
+    return best_i;
+}
+
+// Banded Smith-Waterman: same scoring/traceback as sw_align but the DP is
+// restricted to diagonals d = j - i in [dlo, dhi] (0-based, i over query,
+// j over reference).  For a read whose locus is known from a seed scan the
+// band turns the O(nq*nr) full matrix into O(nq*band) — the
+// locate-then-extend shape of minimap2's alignment stage.  Callers must
+// treat a weak banded score as "band missed" and fall back to sw_align.
+int sw_align_banded(const char* q, int nq, const char* r, int nr,
+                    int dlo, int dhi,
+                    int* bounds, char* ops_out, int* ops_len) {
+    *ops_len = 0;
+    bounds[0] = bounds[1] = bounds[2] = bounds[3] = 0;
+    if (nq == 0 || nr == 0 || dhi < dlo) return 0;
+    const int bw = dhi - dlo + 1;
+
+    // H/F carried per band offset; offset of (i, j) is j - i - dlo, which
+    // is INVARIANT along a diagonal: diag neighbour (i-1, j-1) sits at the
+    // same offset in the previous row, (i-1, j) at offset+1, (i, j-1) at
+    // offset-1.
+    std::vector<int> Hprev(bw, 0), Hcur(bw, NEG);
+    std::vector<int> Fprev(bw, NEG), Fcur(bw, NEG);
+    std::vector<uint8_t> TB((size_t)(nq + 1) * bw, 0);
+
+    int best = 0, bi = 0, bj = 0;
+    // virtual row 0: H = 0 everywhere (handled via the i-1==0 case below)
+    for (int i = 1; i <= nq; ++i) {
+        const char qc = q[i - 1];
+        const int jlo = std::max(1, i + dlo);
+        const int jhi = std::min(nr, i + dhi);
+        std::fill(Hcur.begin(), Hcur.end(), NEG);
+        std::fill(Fcur.begin(), Fcur.end(), NEG);
+        uint8_t* tbrow = &TB[(size_t)i * bw];
+        int e = NEG;
+        for (int j = jlo; j <= jhi; ++j) {
+            const int off = j - i - dlo;
+            const int hup = (off + 1 < bw) ? Hprev[off + 1] : NEG;
+            const int fup = (off + 1 < bw) ? Fprev[off + 1] : NEG;
+            const int f_open = (i - 1 == 0) ? -GAP_OPEN : hup - GAP_OPEN;
+            const int f_ext = fup - GAP_EXTEND;
+            const int f = f_open > f_ext ? f_open : f_ext;
+            Fcur[off] = f;
+            const int hleft = (off - 1 >= 0 && j - 1 >= jlo)
+                                  ? Hcur[off - 1] : NEG;
+            const int e_open = (j - 1 == 0) ? -GAP_OPEN : hleft - GAP_OPEN;
+            const int e_ext = e - GAP_EXTEND;
+            e = e_open > e_ext ? e_open : e_ext;
+            const int hdiag = (i - 1 == 0 || j - 1 == 0) ? 0 : Hprev[off];
+            const int diag = hdiag + sub_score(qc, r[j - 1]);
+            int h = diag;
+            uint8_t t = 1;
+            if (e > h) { h = e; t = 3; }
+            if (f > h) { h = f; t = 2; }
+            if (h <= 0) { h = 0; t = 0; }
+            Hcur[off] = h;
+            tbrow[off] = t;
+            if (h > best) { best = h; bi = i; bj = j; }
+        }
+        std::swap(Hprev, Hcur);
+        std::swap(Fprev, Fcur);
+    }
+    if (best == 0) return 0;
+
+    int i = bi, j = bj;
+    std::vector<char> ops;
+    ops.reserve(nq + nr);
+    while (i > 0 && j > 0) {
+        const int off = j - i - dlo;
+        if (off < 0 || off >= bw) break;
+        const uint8_t t = TB[(size_t)i * bw + off];
+        if (t == 0) break;
+        if (t == 1) {
+            const bool same = q[i - 1] == r[j - 1] && q[i - 1] != 'N'
+                              && r[j - 1] != 'N';
+            ops.push_back(same ? '=' : 'X');
+            --i; --j;
+        } else if (t == 2) {
+            ops.push_back('I');
+            --i;
+        } else {
+            ops.push_back('D');
+            --j;
+        }
+    }
+    std::reverse(ops.begin(), ops.end());
+    bounds[0] = i;
+    bounds[1] = bi;
+    bounds[2] = j;
+    bounds[3] = bj;
+    *ops_len = (int)ops.size();
+    std::memcpy(ops_out, ops.data(), ops.size());
+    return best;
+}
+
 // Monotone no-ref-skip DTW (steps: ref stays or advances with each query
 // sample); optional slanted band.  Writes per-query ref indices into
 // idx_out [T].  Returns 0 on success, -1 if no feasible path.

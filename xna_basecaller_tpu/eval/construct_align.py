@@ -28,7 +28,42 @@ from __future__ import annotations
 from xna_basecaller_tpu.core.alphabet import reverse_complement_str
 from xna_basecaller_tpu.eval.accuracy import sw_align
 from xna_basecaller_tpu.eval.ref_align import PafRecord, _cs_short
-from xna_basecaller_tpu.utils.native import levenshtein
+from xna_basecaller_tpu.utils.native import (
+    lev_demux, levenshtein, sw_align_banded)
+
+
+class DiagIndex:
+    """k-mer -> diagonal voting over one reference sequence.
+
+    Locates a read's diagonal (ref_pos - query_pos) before alignment so
+    the DP can run banded (native sw_align_banded) instead of the full
+    nq*nr matrix — the locate-then-extend shape minimap2 uses.  Buckets
+    diagonals by ``bucket`` to tolerate indels between seeds.
+    """
+
+    def __init__(self, ref: str, k: int = 13, bucket: int = 16):
+        self.k = k
+        self.bucket = bucket
+        idx: dict[str, list[int]] = {}
+        for i in range(len(ref) - k + 1):
+            idx.setdefault(ref[i:i + k], []).append(i)
+        self.idx = idx
+
+    def best_diag(self, q: str, stride: int = 2) -> tuple[int, int]:
+        """(center diagonal, votes); votes == 0 when nothing seeds."""
+        votes: dict[int, int] = {}
+        k, b = self.k, self.bucket
+        get = self.idx.get
+        for i in range(0, len(q) - k + 1, stride):
+            for rpos in get(q[i:i + k], ()):
+                d = (rpos - i) // b
+                votes[d] = votes.get(d, 0) + 1
+        if not votes:
+            return 0, 0
+        best = max(votes, key=lambda d: votes[d] + votes.get(d - 1, 0)
+                   + votes.get(d + 1, 0))
+        n = votes[best] + votes.get(best - 1, 0) + votes.get(best + 1, 0)
+        return best * b + b // 2, n
 
 
 def query_span_for_ref_window(cigar, q0: int, r0: int,
@@ -91,20 +126,52 @@ class ConstructAligner:
         # distinct; merged libraries may alias PC duplicates)
         self._inserts = {tid: t[insert_lo:self.insert_hi[tid]]
                          for tid, t in full_targets.items()}
+        self._diag = DiagIndex(self.canon)
 
-    def _sw(self, s: str, tid: str):
+    def _sw(self, s: str, tid: str, diag: tuple[int, int] | None = None):
+        """Seed-located banded SW with full-matrix rescue.
+
+        The diagonal comes from seeding against the CANONICAL construct —
+        valid for every template because the backbone is shared and
+        insert-length deltas are absorbed by the band pad.  A banded
+        result is trusted only if it aligns most of the read at a healthy
+        per-base score; otherwise (seed miss, band exit, junk read) the
+        exact full matrix re-runs, so banding is purely an accelerator.
+        """
+        d, votes = diag if diag is not None else self._diag.best_diag(s)
+        if votes >= 4:
+            pad = 48 + len(s) // 6
+            res = sw_align_banded(s, self.targets[tid], d - pad, d + pad)
+            if res is not None:
+                score, cigar, (q0, q1, r0, r1) = res
+                if (cigar and q1 - q0 >= 0.6 * len(s)
+                        and score >= 2.5 * (q1 - q0)):
+                    return res
         return sw_align(s, self.targets[tid])
 
     def align(self, read_id: str, seq: str) -> PafRecord | None:
         seq_n = seq.replace("X", "N").replace("Y", "N")
         rc_n = reverse_complement_str(seq_n)
 
-        best = None
+        pairs = []
         for strand, s in (("+", seq_n), ("-", rc_n)):
-            score, cigar, (q0, q1, r0, r1) = self._sw(s, self.canon_id)
+            pairs.append((strand, s, self._diag.best_diag(s)))
+        vmax = max(p[2][1] for p in pairs)
+
+        best = None
+        best_diag = None
+        for strand, s, diag in pairs:
+            if vmax >= 4 and diag[1] < 4:
+                # the other strand seeds well and this one not at all: a
+                # 360bp alignment without a single 13-mer seed cannot
+                # outscore the seeded strand — skip its full-matrix scan
+                continue
+            score, cigar, (q0, q1, r0, r1) = self._sw(
+                s, self.canon_id, diag)
             if cigar and score >= self.min_score and (
                     best is None or score > best[0]):
                 best = (score, strand, s, cigar, q0, q1, r0, r1)
+                best_diag = diag
         if best is None:
             return None
         score, strand, s, cigar, q0, q1, r0, r1 = best
@@ -122,16 +189,22 @@ class ConstructAligner:
                 # insert (clip to the part of the insert the read covers)
                 off_lo = wlo - lo
                 off_hi = whi - lo  # may exceed a shorter insert; clip below
-                dists = []
+                wins = []
                 for cand in self.ids:
                     ins = self._inserts[cand]
-                    ref_win = (self.targets[cand][wlo:whi]
-                               if off_lo < 0 or off_hi > len(ins)
-                               else ins[max(off_lo, 0):off_hi])
-                    dists.append((levenshtein(window, ref_win), cand))
-                tid = min(dists)[1]
+                    wins.append(self.targets[cand][wlo:whi]
+                                if off_lo < 0 or off_hi > len(ins)
+                                else ins[max(off_lo, 0):off_hi])
+                batched = lev_demux(window, wins)
+                if batched is not None:
+                    tid = self.ids[batched[0]]
+                else:  # no native library: per-candidate python loop
+                    tid = self.ids[min(
+                        range(len(wins)),
+                        key=lambda c: levenshtein(window, wins[c]))]
             if tid != self.canon_id:
-                score2, cigar2, (q0b, q1b, r0b, r1b) = self._sw(s, tid)
+                score2, cigar2, (q0b, q1b, r0b, r1b) = self._sw(
+                    s, tid, best_diag)
                 if cigar2 and score2 >= self.min_score:
                     score, cigar = score2, cigar2
                     q0, q1, r0, r1 = q0b, q1b, r0b, r1b

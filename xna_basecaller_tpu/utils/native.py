@@ -63,6 +63,17 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int)]
+        lib.lev_demux.restype = ctypes.c_int
+        lib.lev_demux.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.sw_align_banded.restype = ctypes.c_int
+        lib.sw_align_banded.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int)]
         lib.dtw_band.restype = ctypes.c_int
         lib.dtw_band.argtypes = [
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
@@ -105,6 +116,52 @@ def sw_align(query: str, ref: str):
     ops_len = ctypes.c_int(0)
     score = lib.sw_align(qb, len(qb), rb, len(rb), bounds, ops_buf,
                          ctypes.byref(ops_len))
+    if score == 0:
+        return 0, [], (0, 0, 0, 0)
+    ops = ops_buf.raw[: ops_len.value].decode()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([op, 1])
+    return score, [(o, c) for o, c in cigar], tuple(bounds)
+
+
+def lev_demux(query: str, candidates: list[str]):
+    """(best index, best distance) over candidate strings, or None when
+    the native library is unavailable (callers loop levenshtein())."""
+    lib = _load()
+    if lib is None:
+        return None
+    qb = query.encode()
+    flat = "".join(candidates).encode()
+    offsets = np.zeros(len(candidates) + 1, np.int32)
+    np.cumsum([len(c) for c in candidates], out=offsets[1:])
+    best_d = ctypes.c_int(0)
+    idx = lib.lev_demux(qb, len(qb), flat, offsets, len(candidates),
+                        ctypes.byref(best_d))
+    return idx, best_d.value
+
+
+def sw_align_banded(query: str, ref: str, dlo: int, dhi: int):
+    """Banded native SW restricted to diagonals j - i in [dlo, dhi].
+
+    Same outputs as sw_align.  Returns None when the native library is
+    unavailable (callers fall back to the full-matrix path).  A weak
+    score can also mean the true alignment left the band — callers must
+    apply their own rescue threshold and re-run sw_align.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    qb, rb = query.encode(), ref.encode()
+    bounds = (ctypes.c_int * 4)()
+    ops_buf = ctypes.create_string_buffer(len(qb) + len(rb) + 1)
+    ops_len = ctypes.c_int(0)
+    score = lib.sw_align_banded(qb, len(qb), rb, len(rb), int(dlo),
+                                int(dhi), bounds, ops_buf,
+                                ctypes.byref(ops_len))
     if score == 0:
         return 0, [], (0, 0, 0, 0)
     ops = ops_buf.raw[: ops_len.value].decode()
