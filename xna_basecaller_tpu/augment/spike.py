@@ -244,45 +244,49 @@ def _spike_one(key, chunk, target, length, bkps, kmer_means, kmer_stds,
                          means, stds, med, mad, std_dist, noise_std, T, L), \
             new_target
 
-    # per-spike signal replacement
-    new_chunk = chunk
-    sig_keys = jax.random.split(k_sig, max_spikes)
-    noise_keys = jax.random.split(k_noise, max_spikes)
-
-    def body(i, new_chunk):
-        pos = safe_picks[i]
-        active = picked[i]
-        start = jnp.where(pos >= KMER_LEN, bkps[jnp.maximum(pos - KMER_LEN,
-                                                            0)], 0)
-        end = bkps[pos]
-        span = jnp.clip(end - start, 0, MAX_SPAN)
-        # which k-mer does each sample in the span belong to: the span
-        # covers kmers pos-5..pos with boundaries bkps[pos-6..pos]
-        samp = jnp.arange(MAX_SPAN)
-        abs_pos = start + samp
-        kmer_starts = jnp.stack(
-            [jnp.where(pos - KMER_LEN + j >= 0,
-                       bkps[jnp.clip(pos - KMER_LEN + j, 0, L - 1)], 0)
-             for j in range(KMER_LEN + 1)])          # [7]
-        which = jnp.clip(
-            jnp.searchsorted(kmer_starts, abs_pos, side="right") - 1,
-            0, KMER_LEN - 1)
-        kmer_pos = jnp.clip(pos - (KMER_LEN - 1) + which, 0, L - 1)
-        m = means[kmer_pos]
-        s = stds[kmer_pos]
-        offs = _sample_event_stds(sig_keys[i], s, std_dist)
-        sig = m + offs
-        if noise_std > 0:
-            tn = jax.random.truncated_normal(
-                noise_keys[i], -3.0, 3.0, sig.shape)
-            sig = sig + tn * noise_std
-        sig = (sig - med) / mad
-        write_mask = (samp < span) & active
-        idx = jnp.clip(start + samp, 0, T - 1)
-        cur = new_chunk[idx]
-        return new_chunk.at[idx].set(jnp.where(write_mask, sig, cur))
-
-    new_chunk = jax.lax.fori_loop(0, max_spikes, body, new_chunk)
+    # per-spike signal replacement — all spikes as one batched block +
+    # a single masked scatter (positions are >= pad+1 apart so the
+    # half-open spans [bkps[pos-6], bkps[pos]) are pairwise disjoint;
+    # same vectorisation as augment/stitch._stitch_one)
+    M = max_spikes
+    sig_keys = jax.random.split(k_sig, M)
+    noise_keys = jax.random.split(k_noise, M)
+    pos = safe_picks                                   # [M]
+    start = jnp.where(pos >= KMER_LEN,
+                      bkps[jnp.maximum(pos - KMER_LEN, 0)], 0)
+    end = bkps[pos]
+    span = jnp.clip(end - start, 0, MAX_SPAN)          # [M]
+    samp = jnp.arange(MAX_SPAN)
+    abs_pos = start[:, None] + samp[None, :]           # [M, S]
+    # which k-mer does each sample belong to: the span covers kmers
+    # pos-5..pos with boundaries bkps[pos-6..pos]
+    koff = jnp.arange(KMER_LEN + 1)
+    kmer_starts = jnp.where(
+        pos[:, None] - KMER_LEN + koff[None, :] >= 0,
+        bkps[jnp.clip(pos[:, None] - KMER_LEN + koff[None, :], 0, L - 1)],
+        0)                                             # [M, 7]
+    which = jnp.clip(
+        jnp.sum(abs_pos[..., None] >= kmer_starts[:, None, :], axis=-1) - 1,
+        0, KMER_LEN - 1)                               # [M, S]
+    kmer_pos = jnp.clip(pos[:, None] - (KMER_LEN - 1) + which, 0, L - 1)
+    m = means[kmer_pos]
+    s = stds[kmer_pos]
+    # per-spike keys (vmap) keep the reference's per-position std-shift
+    # draw (sim_signals called per spike, spike_chunks.py:166-190)
+    offs = jax.vmap(
+        lambda k, sv: _sample_event_stds(k, sv, std_dist))(sig_keys, s)
+    sig = m + offs
+    if noise_std > 0:
+        tn = jax.vmap(
+            lambda k, sh: jax.random.truncated_normal(k, -3.0, 3.0,
+                                                      sh.shape))(
+            noise_keys, sig)
+        sig = sig + tn * noise_std
+    sig = (sig - med) / mad
+    write_mask = (samp[None, :] < span[:, None]) & picked[:, None]
+    idx = jnp.where(write_mask, start[:, None] + samp[None, :], T)
+    new_chunk = chunk.at[idx.reshape(-1)].set(
+        sig.reshape(-1).astype(chunk.dtype), mode="drop")
     return new_chunk, new_target
 
 
