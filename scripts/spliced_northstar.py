@@ -176,6 +176,10 @@ def phase_d_validate(args, workdir):
 
     from xna_basecaller_tpu.data.simulate import sim_library_reads
 
+    def _sim(r, g, n):
+        return sim_library_reads(r, g, n, True, "heldout",
+                                 read_len_chunks=1)
+
     # held-out-regime eval reads, fixed across epochs
     rng = np.random.default_rng(777)
     val_reads = list(sim_library_reads(
@@ -230,16 +234,26 @@ def phase_d_validate(args, workdir):
         init_params(jax.random.key(0), cfg),
         os.path.join(workdir, "weights_99.npz"))
     results = {}
-    for tag, reads in (("test", test_reads), ("test-ind", test_reads_ind)):
-        out_dir = os.path.join(workdir, f"basecalls-{tag}")
+    evals = [(args.exp, "test", test_reads),
+             (args.exp, "test-ind", test_reads_ind)]
+    if args.exp == "CPLX":
+        # reference config #5 evaluates the CPLX-trained model on the POC
+        # library too (train_and_eval.sh -E POC, README.md:108)
+        poc_refs = XnaRefs("POC")
+        rng3 = np.random.default_rng(779)
+        poc_reads = list(_sim(poc_refs, rng3, args.test_reads))
+        evals.append(("POC", "test", poc_reads))
+    for exp, tag, reads in evals:
+        key = tag if exp == args.exp else f"{exp}-{tag}"
+        out_dir = os.path.join(workdir, f"basecalls-{key}")
         os.makedirs(out_dir, exist_ok=True)
-        fq = os.path.join(out_dir, f"reads-{args.exp}-{tag}.fastq")
+        fq = os.path.join(out_dir, f"reads-{exp}-{tag}.fastq")
         if not (os.path.exists(fq) and os.path.getsize(fq)):
             with open(fq, "w") as fh:
                 run_basecaller(model, params, iter(reads), fh,
                                chunksize=3600, overlap=500,
                                batchsize=args.batch)
-        results[tag] = eval_model(args.exp, out_dir, split=tag,
+        results[key] = eval_model(exp, out_dir, split=tag,
                                   reads_fastq=fq, ubs="XY", log=log)
     return best, results
 
@@ -289,12 +303,12 @@ def main():
     summary = {
         "exp": args.exp, "best_epoch": best,
         "wall_seconds": int(time.time() - t0),
-        "test_heldout": {k: v for k, v in results["test"].items()
-                         if isinstance(v, (int, float))},
-        "test_in_distribution": {
-            k: v for k, v in results["test-ind"].items()
-            if isinstance(v, (int, float))},
     }
+    for key, vals in results.items():
+        name = {"test": "test_heldout",
+                "test-ind": "test_in_distribution"}.get(key, key)
+        summary[name] = {k: v for k, v in vals.items()
+                         if isinstance(v, (int, float))}
     with open(os.path.join(args.out, "northstar_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
     log(json.dumps(summary, indent=2))
