@@ -104,7 +104,12 @@ def main():
     p.add_argument("--val-reads", type=int, default=300)
     p.add_argument("--n-proc", type=int, default=8)
     p.add_argument("--modes", default="fully_synth,hybrid,spliced")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (micro smoke runs)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
 
     from xna_basecaller_tpu.data.simulate import sim_library_reads

@@ -284,7 +284,12 @@ def main():
                    help="skip per-epoch validation below this epoch")
     p.add_argument("--test-reads", type=int, default=400)
     p.add_argument("--n-proc", type=int, default=8)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (micro smoke runs)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
 
     from xna_basecaller_tpu.core import config as config_lib
