@@ -129,6 +129,46 @@ int sw_align(const char* q, int nq, const char* r, int nr,
     return best;
 }
 
+// Score-only batched Smith-Waterman: best local score of q against each
+// of n references (concatenated in refs, ref i at [offsets[i],
+// offsets[i+1])).  Two-row DP, no traceback allocation — one native call
+// replaces n python->ctypes round trips in exhaustive template scans;
+// the caller re-aligns only the argmax with sw_align for the cigar.
+void sw_score_batch(const char* q, int nq, const char* refs,
+                    const int* offsets, int n, int* scores_out) {
+    std::vector<int> Hprev, Hcur, Frow;
+    for (int c = 0; c < n; ++c) {
+        const char* r = refs + offsets[c];
+        const int nr = offsets[c + 1] - offsets[c];
+        Hprev.assign(nr + 1, 0);
+        Hcur.assign(nr + 1, 0);
+        Frow.assign(nr + 1, NEG);
+        int best = 0;
+        for (int i = 1; i <= nq; ++i) {
+            const char qc = q[i - 1];
+            int e = NEG;
+            Hcur[0] = 0;
+            for (int j = 1; j <= nr; ++j) {
+                const int f_open = Hprev[j] - GAP_OPEN;
+                const int f_ext = Frow[j] - GAP_EXTEND;
+                const int f = f_open > f_ext ? f_open : f_ext;
+                Frow[j] = f;
+                const int e_open = Hcur[j - 1] - GAP_OPEN;
+                const int e_ext = e - GAP_EXTEND;
+                e = e_open > e_ext ? e_open : e_ext;
+                int h = Hprev[j - 1] + sub_score(qc, r[j - 1]);
+                if (e > h) h = e;
+                if (f > h) h = f;
+                if (h <= 0) h = 0;
+                Hcur[j] = h;
+                if (h > best) best = h;
+            }
+            std::swap(Hprev, Hcur);
+        }
+        scores_out[c] = best;
+    }
+}
+
 // Batched Levenshtein demux: edit distance of q against n candidate
 // strings (concatenated in cands, candidate i at [offsets[i], offsets[i+1])),
 // with Ukkonen-style early abandon once a row's minimum exceeds the best

@@ -128,6 +128,34 @@ def align_read(read_id: str, seq: str, targets: dict[str, str],
     rc_n = reverse_complement_str(seq_n)
 
     def _scan(pairs):
+        # score-only batched native pass first: one ctypes call for all
+        # (strand, template) pairs, then a single traceback alignment of
+        # the winner.  Falls back to per-pair sw_align without the
+        # native library (same scores — sw_score_batch shares the DP).
+        if len(pairs) > 8:
+            import numpy as np
+
+            from xna_basecaller_tpu.utils.native import sw_score_batch
+            by_q: dict[str, list[int]] = {}
+            for i, (_, s, _) in enumerate(pairs):
+                by_q.setdefault(s, []).append(i)
+            scores = np.zeros(len(pairs), np.int64)
+            for s, idxs in by_q.items():
+                batch = sw_score_batch(
+                    s, [targets[pairs[i][2]] for i in idxs])
+                if batch is None:
+                    scores = None
+                    break
+                scores[idxs] = batch
+            if scores is not None:
+                bi = int(np.argmax(scores))
+                if scores[bi] < min_score:
+                    return None
+                strand, s, tid = pairs[bi]
+                score, cigar, (q0, q1, r0, r1) = sw_align(s, targets[tid])
+                if not cigar or score < min_score:
+                    return None
+                return (score, strand, tid, s, cigar, q0, q1, r0, r1)
         best = None
         for strand, s, tid in pairs:
             tar = targets[tid]

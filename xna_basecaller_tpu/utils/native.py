@@ -63,6 +63,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int)]
+        lib.sw_score_batch.restype = None
+        lib.sw_score_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
         lib.lev_demux.restype = ctypes.c_int
         lib.lev_demux.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
@@ -126,6 +132,21 @@ def sw_align(query: str, ref: str):
         else:
             cigar.append([op, 1])
     return score, [(o, c) for o, c in cigar], tuple(bounds)
+
+
+def sw_score_batch(query: str, refs: list[str]):
+    """Best local SW score of query vs each ref (int32 [n]), or None when
+    the native library is unavailable (callers loop sw_align)."""
+    lib = _load()
+    if lib is None:
+        return None
+    qb = query.encode()
+    flat = "".join(refs).encode()
+    offsets = np.zeros(len(refs) + 1, np.int32)
+    np.cumsum([len(r) for r in refs], out=offsets[1:])
+    out = np.zeros(len(refs), np.int32)
+    lib.sw_score_batch(qb, len(qb), flat, offsets, len(refs), out)
+    return out
 
 
 def lev_demux(query: str, candidates: list[str]):
