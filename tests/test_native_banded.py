@@ -62,6 +62,31 @@ def test_lev_demux_matches_loop():
         assert dists[idx] == d
 
 
+def test_sw_score_batch_matches_sw_align():
+    rng = np.random.default_rng(4)
+    refs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 89))
+            for _ in range(60)]
+    q = refs[17][:40] + "T" + refs[17][40:]
+    scores = native.sw_score_batch(q, refs)
+    loop = [native.sw_align(q, r)[0] for r in refs]
+    assert (scores == np.array(loop)).all()
+    assert int(np.argmax(scores)) == 17
+
+
+def test_align_read_batched_scan_same_result():
+    from xna_basecaller_tpu.eval.ref_align import align_read
+
+    rng = np.random.default_rng(5)
+    targets = {f"t{i}": "".join("ACGT"[j] for j in rng.integers(0, 4, 89))
+               for i in range(40)}
+    q = list(targets["t7"])
+    for p in rng.choice(len(q), 8, replace=False):
+        q[p] = "ACGT"[int(rng.integers(4))]
+    q = "".join(q)
+    rec = align_read("r", q, targets)  # >8 pairs -> batched scan path
+    assert rec is not None and rec.target_id == "t7"
+
+
 def test_lev_demux_variable_lengths():
     rng = np.random.default_rng(3)
     cands = ["".join("ACGT"[i] for i in rng.integers(0, 4, n))
