@@ -23,12 +23,15 @@ def cp(src, dst=None):
 cp(os.path.join(args.run_dir, "northstar_summary.json"))
 sm = os.path.join(args.run_dir, "spliced_model")
 cp(os.path.join(sm, "training.csv"))
-for tag in ("val", "test", "test-ind"):
+for key, exp, tag in (("val", "CPLX", "val"), ("test", "CPLX", "test"),
+                      ("test-ind", "CPLX", "test-ind"),
+                      ("POC-test", "POC", "test"),
+                      ("val", "POC", "val"), ("test", "POC", "test")):
     for base in (os.path.join(sm, "basecalls"),
-                 os.path.join(sm, f"basecalls-{tag}")):
-        for exp in ("CPLX", "POC"):
-            cp(os.path.join(base, f"results_summ-{exp}-{tag}.csv"),
-               f"results_summ-{exp}-{tag}.csv")
+                 os.path.join(sm, f"basecalls-{key}")):
+        cp(os.path.join(base, f"results_summ-{exp}-{tag}.csv"),
+           f"results_summ-{exp}-{tag}{'-x' if key == 'POC-test' else ''}"
+           ".csv")
 # per-epoch validation chain: keep the consolidated log if present
 for name in ("validation_chain.log", "consolidated.csv"):
     cp(os.path.join(sm, name))

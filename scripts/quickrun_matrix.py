@@ -59,29 +59,12 @@ def train_mode(args, mode, boot_dir, dna_dir, xna_dir):
 
 
 def eval_mode(args, workdir, reads, tag):
-    import jax
+    from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
 
-    from xna_basecaller_tpu.core import config as config_lib
-    from xna_basecaller_tpu.infer.basecall import run_basecaller
-    from xna_basecaller_tpu.models.crf_model import Model, init_params
-    from xna_basecaller_tpu.tools.eval_model import eval_model
-    from xna_basecaller_tpu.train import checkpoint as ckpt
-
-    cfg = config_lib.load(workdir)
-    model = Model(cfg)
-    params = ckpt.load_tree(
-        init_params(jax.random.key(0), cfg),
-        os.path.join(workdir, f"weights_{args.epochs}.npz"))
-    out_dir = os.path.join(workdir, "basecalls")
-    os.makedirs(out_dir, exist_ok=True)
-    fq = os.path.join(out_dir, f"reads-{args.exp}-{tag}.fastq")
-    if not (os.path.exists(fq) and os.path.getsize(fq)):
-        with open(fq, "w") as fh:
-            run_basecaller(model, params, iter(reads), fh,
-                           chunksize=3600, overlap=500,
-                           batchsize=args.batch)
-    return eval_model(args.exp, out_dir, split=tag, reads_fastq=fq,
-                      ubs=args.ubs, log=log)
+    return basecall_and_eval(
+        workdir, reads, args.exp, tag, weights=str(args.epochs),
+        batchsize=args.batch, ubs=args.ubs,
+        out_dir=os.path.join(workdir, "basecalls"), log=log)
 
 
 def main():

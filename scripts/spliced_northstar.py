@@ -166,7 +166,6 @@ def phase_d_validate(args, workdir):
     from xna_basecaller_tpu.eval.xna_refs import XnaRefs
     from xna_basecaller_tpu.infer.basecall import run_basecaller
     from xna_basecaller_tpu.models.crf_model import Model
-    from xna_basecaller_tpu.tools.eval_model import eval_model
     from xna_basecaller_tpu.tools.train_and_eval import run_ub_validation
     from xna_basecaller_tpu.train import checkpoint as ckpt
 
@@ -182,10 +181,8 @@ def phase_d_validate(args, workdir):
 
     # held-out-regime eval reads, fixed across epochs
     rng = np.random.default_rng(777)
-    val_reads = list(sim_library_reads(
-        refs, rng, args.val_reads, True, "heldout", read_len_chunks=1))
-    test_reads = list(sim_library_reads(
-        refs, rng, args.test_reads, True, "heldout", read_len_chunks=1))
+    val_reads = list(_sim(refs, rng, args.val_reads))
+    test_reads = list(_sim(refs, rng, args.test_reads))
     # matched in-distribution test set for the circularity comparison
     rng2 = np.random.default_rng(778)
     test_reads_ind = list(sim_library_reads(
@@ -228,11 +225,7 @@ def phase_d_validate(args, workdir):
     log(f"> [D] best epoch: {best}")
 
     # test eval with the best checkpoint, held-out + in-distribution
-    import jax
-    from xna_basecaller_tpu.models.crf_model import init_params
-    params = ckpt.load_tree(
-        init_params(jax.random.key(0), cfg),
-        os.path.join(workdir, "weights_99.npz"))
+    from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
     results = {}
     evals = [(args.exp, "test", test_reads),
              (args.exp, "test-ind", test_reads_ind)]
@@ -245,16 +238,10 @@ def phase_d_validate(args, workdir):
         evals.append(("POC", "test", poc_reads))
     for exp, tag, reads in evals:
         key = tag if exp == args.exp else f"{exp}-{tag}"
-        out_dir = os.path.join(workdir, f"basecalls-{key}")
-        os.makedirs(out_dir, exist_ok=True)
-        fq = os.path.join(out_dir, f"reads-{exp}-{tag}.fastq")
-        if not (os.path.exists(fq) and os.path.getsize(fq)):
-            with open(fq, "w") as fh:
-                run_basecaller(model, params, iter(reads), fh,
-                               chunksize=3600, overlap=500,
-                               batchsize=args.batch)
-        results[key] = eval_model(exp, out_dir, split=tag,
-                                  reads_fastq=fq, ubs="XY", log=log)
+        results[key] = basecall_and_eval(
+            workdir, reads, exp, tag, weights="99",
+            batchsize=args.batch, ubs="XY",
+            out_dir=os.path.join(workdir, f"basecalls-{key}"), log=log)
     return best, results
 
 

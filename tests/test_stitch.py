@@ -215,3 +215,36 @@ def test_permute_transform_window_locality():
         assert sorted(win.tolist()) == list(range(w * 8, (w + 1) * 8))
         changed |= not np.array_equal(win, np.arange(w * 8, (w + 1) * 8))
     assert changed  # at least one window actually permuted
+
+
+def test_one_code_table_still_inserts_with_xy(xna_dir, dna_batch):
+    """ubs=XY with a donor table populated only for X must still insert X
+    (per-code availability; pre-fix the AND over codes silently zeroed
+    every insertion)."""
+    tables = slice_xna_tables(xna_dir, cap=8)
+    x_only = StitchTables(
+        tables.signals.copy(), tables.lens.copy(), tables.counts.copy())
+    x_only.signals[1] = 0
+    x_only.lens[1] = 0
+    x_only.counts[1] = 0  # no Y donors at all
+    chunks, refs, lens, bkps = dna_batch
+    c, t, success = stitch_batch(
+        jax.random.key(3), jnp.asarray(chunks), jnp.asarray(refs),
+        jnp.asarray(lens), jnp.asarray(bkps),
+        jnp.asarray(x_only.signals), jnp.asarray(x_only.lens),
+        jnp.asarray(x_only.counts), prop_ubs=0.08, ub_codes=(5, 6))
+    t = np.asarray(t)
+    assert np.asarray(success).all()
+    assert (t == 5).sum() > 0   # X inserted
+    assert (t == 6).sum() == 0  # no Y without donors
+
+
+def test_small_pad_rejected(xna_dir, dna_batch):
+    tables = slice_xna_tables(xna_dir, cap=8)
+    chunks, refs, lens, bkps = dna_batch
+    with pytest.raises(ValueError, match="pad"):
+        stitch_batch(
+            jax.random.key(0), jnp.asarray(chunks), jnp.asarray(refs),
+            jnp.asarray(lens), jnp.asarray(bkps),
+            jnp.asarray(tables.signals), jnp.asarray(tables.lens),
+            jnp.asarray(tables.counts), pad=3)

@@ -133,6 +133,12 @@ def spike_batch(key, chunks, targets, lengths, breakpoints,
     chunks [B, T] f32, targets [B, L] i32, lengths [B] i32,
     breakpoints [B, L] i32 cumulative; returns (chunks', targets').
     """
+    if pad < KMER_LEN - 1:
+        # picks are only guaranteed pad+1 apart; the single-scatter write
+        # needs the [bkps[pos-6], bkps[pos]) spans pairwise disjoint
+        raise ValueError(
+            f"spike pad must be >= {KMER_LEN - 1} (got {pad}): smaller "
+            "pads allow overlapping replacement spans")
     B, T = chunks.shape
     L = targets.shape[1]
     keys = jax.random.split(key, B)

@@ -167,8 +167,8 @@ def _permute_transform(key, sig, valid_len, win: int):
 
 def availability_mask(target, length, tbl_counts, ub_codes,
                       kmer_len: int = KMER_LEN):
-    """[L] bool: positions whose 6 covering-k-mer donor buckets are all
-    non-empty for every UB in ``ub_codes``.
+    """[n_codes, L] bool: positions whose 6 covering-k-mer donor buckets
+    are all non-empty, per UB code in ``ub_codes``.
 
     The reference picks positions blind and falls back unmodified when a
     bucket has no exact-k-mer candidate (stitch_chunks.py:392-430) — cheap
@@ -176,13 +176,15 @@ def availability_mask(target, length, tbl_counts, ub_codes,
     contexts.  With a bootstrapped (sparser) library, blind picking wastes
     most insertion attempts; masking the choice up front keeps the
     requested UB exposure without relaxing the exact-context match.
+    Per-code masks (not ANDed over codes) so a donor table populated for
+    only one of the requested codes still yields that code's insertions.
     """
     L = target.shape[0]
     zt = jnp.clip(target - 1, 0, 5)
     natural = (target >= 1) & (target <= 4)
     pos_idx = jnp.arange(L)
 
-    ok = jnp.ones(L, bool)
+    ok = jnp.ones((len(ub_codes), L), bool)
     for ki in range(kmer_len):
         # context code for the k-mer with the UB at kmer_ub_pos = 5-ki:
         # after (t[pos+1 .. pos+ki]) then before (t[pos-(5-ki) .. pos-1])
@@ -196,8 +198,9 @@ def availability_mask(target, length, tbl_counts, ub_codes,
             ctx = ctx * 4 + jnp.clip(zt[pc], 0, 3)
             good = good & natural[pc] & (p >= 0) & (p < length)
         kup = kmer_len - 1 - ki
-        for code in ub_codes:
-            ok = ok & good & (tbl_counts[code - 5, kup, ctx] > 0)
+        for ci, code in enumerate(ub_codes):
+            ok = ok.at[ci].set(
+                ok[ci] & good & (tbl_counts[code - 5, kup, ctx] > 0))
     return ok
 
 
@@ -218,6 +221,12 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
     ``weight_table`` [6, 1024] enables k-mer-frequency-weighted insert
     position picking (reference weighted_pos_pick, stitch_chunks.py:46).
     """
+    if pad < KMER_LEN - 1:
+        # picks are only guaranteed pad+1 apart; the single-scatter write
+        # needs the [bkps[pos-6], bkps[pos]) spans pairwise disjoint
+        raise ValueError(
+            f"stitch pad must be >= {KMER_LEN - 1} (got {pad}): smaller "
+            "pads allow overlapping insertion spans")
     B, T = chunks.shape
     keys = jax.random.split(key, B)
 
@@ -252,7 +261,7 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
         jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
     n_pos = jnp.minimum(n_pos, max_stitches)
     avail = availability_mask(target, length, tbl_counts, ub_codes)
-    pos_w = avail.astype(jnp.float32)
+    pos_w = avail.any(axis=0).astype(jnp.float32)
     if weight_table is not None:
         pos_w = pos_w * position_weights(target, length, weight_table)
     picks = _choose_positions(k_pos, length, n_pos, max_stitches, pad,
@@ -260,8 +269,13 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
     picked = picks >= 0
     safe_picks = jnp.clip(picks, 0, L - 1)
 
+    # UB code per stitch: uniform over the codes actually available at
+    # the picked position (a one-code donor table still inserts that code)
     codes = jnp.asarray(ub_codes, jnp.int32)
-    ub_choice = jax.random.randint(k_ub, (max_stitches,), 0, len(ub_codes))
+    code_ok = avail[:, safe_picks].T                  # [M, n_codes]
+    r_code = jax.random.uniform(k_ub, (max_stitches, len(ub_codes)))
+    r_code = jnp.where(code_ok, r_code, 2.0)
+    ub_choice = jnp.argmin(r_code, axis=1)
     spiked_ubs = codes[ub_choice]                     # [M]
 
     zt = jnp.clip(target - 1, 0, 5)  # 0-based base codes

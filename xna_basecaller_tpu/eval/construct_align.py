@@ -28,8 +28,8 @@ from __future__ import annotations
 from xna_basecaller_tpu.core.alphabet import reverse_complement_str
 from xna_basecaller_tpu.eval.accuracy import sw_align
 from xna_basecaller_tpu.eval.ref_align import PafRecord, _cs_short
-from xna_basecaller_tpu.utils.native import (
-    lev_demux, levenshtein, sw_align_banded)
+from xna_basecaller_tpu.eval.cs_align import levenshtein
+from xna_basecaller_tpu.utils.native import lev_demux, sw_align_banded
 
 
 class DiagIndex:

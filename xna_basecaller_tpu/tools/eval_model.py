@@ -95,3 +95,38 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
         save_confusion_matrix=save_confusion_matrix,
         read_quals=read_quals, log=log)
     return summary
+
+
+def basecall_and_eval(workdir: str, reads, exp: str, split: str,
+                      weights: str = "99", batchsize: int = 128,
+                      ubs: str = "XY", out_dir: str | None = None,
+                      chunksize: int = 3600, overlap: int = 500,
+                      log=print) -> dict:
+    """Load ``weights_{weights}.npz`` from ``workdir``, basecall ``reads``
+    into a FASTQ under ``out_dir`` (idempotent), and run :func:`eval_model`.
+
+    The checkpoint-load -> basecall -> eval chain shared by the
+    north-star and quick-run drivers (reference eval_model.sh:94-163).
+    """
+    import jax
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.infer.basecall import run_basecaller
+    from xna_basecaller_tpu.models.crf_model import Model, init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = config_lib.load(workdir)
+    model = Model(cfg)
+    params = ckpt.load_tree(
+        init_params(jax.random.key(0), cfg),
+        os.path.join(workdir, f"weights_{weights}.npz"))
+    out_dir = out_dir or os.path.join(workdir, f"basecalls-{split}")
+    os.makedirs(out_dir, exist_ok=True)
+    fq = os.path.join(out_dir, f"reads-{exp}-{split}.fastq")
+    if not (os.path.exists(fq) and os.path.getsize(fq)):
+        with open(fq, "w") as fh:
+            run_basecaller(model, params, iter(reads), fh,
+                           chunksize=chunksize, overlap=overlap,
+                           batchsize=batchsize)
+    return eval_model(exp, out_dir, split=split, reads_fastq=fq, ubs=ubs,
+                      log=log)
