@@ -103,6 +103,13 @@ def main():
     print(f"[bench] train step: {128 * 3600 / train_sps * 1e3:.0f} ms "
           f"({train_sps:.2e} train samples/s)", file=sys.stderr)
 
+    # Device-side stitch augmentation throughput: the reference's spliced
+    # training is CPU-worker-bound (README.md:116 recommends 32 workers);
+    # here the splice runs as a jitted batch transform on the chip.
+    aug_sps = _augment_throughput()
+    print(f"[bench] stitch augment: {aug_sps:.2e} samples/s",
+          file=sys.stderr)
+
     value = stats["samples_per_s"]
     print(json.dumps({
         "metric": "basecalled_samples_per_s_per_chip",
@@ -112,6 +119,7 @@ def main():
         "pure_device_samples_per_s_per_chip": round(device_sps, 1),
         "quantized_samples_per_s_per_chip": round(q_best, 1),
         "train_samples_per_s_per_chip": round(train_sps, 1),
+        "stitch_augment_samples_per_s_per_chip": round(aug_sps, 1),
     }))
 
 
@@ -138,6 +146,42 @@ def _pure_device_throughput(model, params, batchsize, chunksize,
         jax.block_until_ready(paths)
         best = max(best, n * batchsize * chunksize /
                    (time.perf_counter() - t0))
+    return best
+
+
+def _augment_throughput(batch: int = 128) -> float:
+    """Device-side spliced (stitch) augmentation rate on synthetic
+    library-shaped donor tables (no dataset dependency)."""
+    import jax
+    import numpy as np
+
+    from xna_basecaller_tpu.augment.stitch import StitchTables, stitch_batch
+    from xna_basecaller_tpu.data.simulate import simulate_ctc_dataset
+
+    rng = np.random.default_rng(11)
+    cap = 8
+    tables = StitchTables(
+        rng.normal(size=(2, 6, 1024, cap, 100)).astype(np.float32),
+        rng.integers(20, 90, size=(2, 6, 1024, cap)).astype(np.int32),
+        np.full((2, 6, 1024), cap, np.int32))
+    chunks, refs, lens, bkps = simulate_ctc_dataset(batch, seed=12)
+    args = (jax.numpy.asarray(chunks.astype(np.float32)),
+            jax.numpy.asarray(refs.astype(np.int32)),
+            jax.numpy.asarray(lens.astype(np.int32)),
+            jax.numpy.asarray(bkps.astype(np.int32)),
+            jax.numpy.asarray(tables.signals),
+            jax.numpy.asarray(tables.lens),
+            jax.numpy.asarray(tables.counts))
+    out = stitch_batch(jax.random.key(0), *args, prop_ubs=0.09)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = 4
+        for i in range(n):
+            out = stitch_batch(jax.random.key(i + 1), *args, prop_ubs=0.09)
+        jax.block_until_ready(out)
+        best = max(best, n * batch * 3600 / (time.perf_counter() - t0))
     return best
 
 
