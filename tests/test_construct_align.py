@@ -141,6 +141,28 @@ def test_sim_dna_reads_uniform(cplx):
         assert "X" not in r.sequence and "Y" not in r.sequence
 
 
+def test_writer_reverse_strand_y_encoding(cplx, tmp_path):
+    """Reverse-strand chunk-reads store the revcomp'd refseq with the UB
+    coded 6 (Y) — reference io.py:536-540 strand-aware encoding."""
+    aligner = from_refs(cplx, with_ubs=True)
+    writer = CtcDataWriter(str(tmp_path), min_coverage=0.9,
+                           min_accuracy=0.9, log=lambda *a: None)
+    rng = np.random.default_rng(6)
+    tid = "TGACA"
+    frag = reverse_complement_str(
+        cplx.full_targets[tid][1000:1360].replace("N", "X"))
+    assert "Y" in frag
+    seq = _mutate(frag, rng, 8)
+    rec = aligner.align("c0", seq)
+    assert rec is not None and rec.strand == "-"
+    ok = writer.add(np.zeros(3600, np.float16), seq, rec.as_dict(),
+                    refseq=aligner.refseq(rec))
+    assert ok
+    target = writer.targets[-1]
+    assert 6 in target and 5 not in target
+    assert len(target) > 0.9 * len(frag)
+
+
 def test_writer_full_coverage_targets(cplx, tmp_path):
     """With construct-fragment reads, kept chunks carry targets covering
     essentially the whole chunk signal (the round-1 bootstrap stored
