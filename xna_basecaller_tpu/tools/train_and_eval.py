@@ -61,8 +61,17 @@ def train_and_eval(workdir: str, data_dir: str, exp: str = "POC",
                    val_read_ids: str | None = None,
                    test_reads_dir: str | None = None,
                    test_read_ids: str | None = None,
+                   extra_train_args: list[str] | None = None,
+                   extra_eval_exps: list[str] | None = None,
                    log=print) -> dict:
-    """End-to-end: train, validate per epoch, pick best, test-eval."""
+    """End-to-end: train, validate per epoch, pick best, test-eval.
+
+    ``extra_train_args`` passes any cli/train knob through verbatim (the
+    reference getopts surface: freeze/unfreeze, drop rates, std_dist,
+    stitch noise/permute, weighted pos pick, ...);
+    ``extra_eval_exps`` evaluates the best checkpoint on additional
+    libraries (reference -E, train_and_eval.sh:58).
+    """
     from xna_basecaller_tpu.cli.train import main as train_main, argparser
 
     # 1) training (resumable: Trainer picks up the latest epoch)
@@ -79,6 +88,8 @@ def train_and_eval(workdir: str, data_dir: str, exp: str = "POC",
     if stitch:
         argv += ["--stitch"]
     argv += ["--ub-prop", str(ub_prop)]
+    if extra_train_args:
+        argv += list(extra_train_args)
     args = argparser().parse_args(argv)
     train_main(args)
 
@@ -88,12 +99,21 @@ def train_and_eval(workdir: str, data_dir: str, exp: str = "POC",
         best = run_ub_validation(workdir, exp, reads_dir=val_reads_dir,
                                  read_ids=val_read_ids, ubs=ubs, log=log)
 
-    # 3) test evaluation with the best (or last) checkpoint
+    # 3) test evaluation with the best (or last) checkpoint, on the main
+    # library plus any extra eval libraries (reference -E)
     summary = {}
+    extra = {}
     if test_reads_dir is not None:
         out_dir = os.path.join(workdir, "basecalls-test")
         summary = eval_model(
             exp, out_dir, split="test", model_dir=workdir,
             reads_dir=test_reads_dir, read_ids=test_read_ids, ubs=ubs,
             weights=99 if best is not None else None, log=log)
-    return {"best_epoch": best, "test_summary": summary}
+        for x_exp in extra_eval_exps or ():
+            x_dir = os.path.join(workdir, f"basecalls-{x_exp}-test")
+            extra[x_exp] = eval_model(
+                x_exp, x_dir, split="test", model_dir=workdir,
+                reads_dir=test_reads_dir, read_ids=test_read_ids,
+                ubs=ubs, weights=99 if best is not None else None, log=log)
+    return {"best_epoch": best, "test_summary": summary,
+            "extra_eval": extra}
