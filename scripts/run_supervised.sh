@@ -1,0 +1,23 @@
+#!/bin/bash
+# Supervise a resumable long-running python job: if it exits nonzero
+# (e.g. the TPU tunnel drops) and its done-file is absent, relaunch it.
+# All spliced_northstar/quickrun phases skip work that already exists,
+# so a relaunch resumes from the last completed artifact.
+#
+# usage: run_supervised.sh <done_file> <logfile> <cmd...>
+set -u
+DONE_FILE=$1; shift
+LOG=$1; shift
+ATTEMPT=0
+while [ ! -e "$DONE_FILE" ] && [ $ATTEMPT -lt 20 ]; do
+  ATTEMPT=$((ATTEMPT + 1))
+  echo "=== supervisor attempt $ATTEMPT: $* ===" >> "$LOG"
+  "$@" >> "$LOG" 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "=== supervisor: clean exit ===" >> "$LOG"
+    break
+  fi
+  echo "=== supervisor: exit $rc, retrying in 60s ===" >> "$LOG"
+  sleep 60
+done
