@@ -154,3 +154,42 @@ def accuracy(ref: str, seq: str, balanced: bool = False,
     else:
         acc = counts["="] / denom_ops
     return acc * 100.0
+
+
+def print_alignment(ref: str, seq: str, file=None, width: int = 80) -> int:
+    """Pretty-print the local alignment between ref and basecall and
+    return its score (reference util.py:427-437; parasail traceback
+    rendering replaced by the built-in SW cigar)."""
+    import sys
+
+    file = file or sys.stdout
+    score, cigar, (q0, q1, r0, r1) = sw_align(seq, ref)
+    r_line: list[str] = []
+    c_line: list[str] = []
+    q_line: list[str] = []
+    qi, ri = q0, r0
+    for op, count in cigar:
+        for _ in range(count):
+            if op in ("=", "X"):
+                r_line.append(ref[ri])
+                q_line.append(seq[qi])
+                c_line.append("|" if op == "=" else ".")
+                ri += 1
+                qi += 1
+            elif op == "I":  # consumes query
+                r_line.append("-")
+                q_line.append(seq[qi])
+                c_line.append(" ")
+                qi += 1
+            else:  # 'D' consumes ref
+                r_line.append(ref[ri])
+                q_line.append("-")
+                c_line.append(" ")
+                ri += 1
+    for start in range(0, len(r_line), width):
+        sl = slice(start, start + width)
+        print("".join(r_line[sl]), file=file)
+        print("".join(c_line[sl]), file=file)
+        print("".join(q_line[sl]), file=file)
+    print(f"  Score={score}", file=file)
+    return score

@@ -81,6 +81,45 @@ def compute_read_matches(read_seq: str, operations, align_start: int,
     return np.asarray(out)
 
 
+def aligned_pair(record: dict, target: str,
+                 read_seq: str) -> tuple[str, str]:
+    """Gapped (read_aligned, target_aligned) strings reconstructed from the
+    cs operations (reference compute_alignments, utils.py:262-375): equal
+    length, '-' in the read at deletions/unaligned target flanks, '-' in
+    the target at read insertions, and the full target visible outside the
+    aligned window."""
+    ra: list[str] = ["-"] * record["target_start"]
+    ta: list[str] = list(target[:record["target_start"]])
+    r, t = 0, record["target_start"]
+    for op in parse_cs(record["cs"]):
+        sym, val = op[0], op[1:]
+        if sym in (":", "="):
+            ln = int(val) if sym == ":" else len(val)
+            ra += list(read_seq[r:r + ln])
+            ta += list(read_seq[r:r + ln])
+            r += ln
+            t += ln
+        elif sym == "*":
+            ra.append(read_seq[r])
+            ta.append(val[0].upper())
+            r += 1
+            t += 1
+        elif sym == "+":
+            ra += list(read_seq[r:r + len(val)])
+            ta += ["-"] * len(val)
+            r += len(val)
+        elif sym == "-":
+            ra += ["-"] * len(val)
+            ta += list(target[t:t + len(val)])
+            t += len(val)
+        else:
+            raise NotImplementedError(op)
+    ra += ["-"] * (record["target_length"] - record["target_end"])
+    ta += list(target[t:])
+    assert len(ra) == len(ta)
+    return "".join(ra), "".join(ta)
+
+
 def polish_target_matches(target_matches: np.ndarray,
                           target: str) -> np.ndarray:
     """Fix minimap2's UB-adjacent indel misplacement (reference
