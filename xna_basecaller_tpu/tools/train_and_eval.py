@@ -38,6 +38,10 @@ def run_ub_validation(model_dir: str, exp: str, reads_dir: str | None = None,
         if (m := re.search(r"weights_(\d+)\.npz$", f)) and not os.path.islink(f)
     })
     epochs = [e for e in epochs if e != 99]
+    if fastq_per_epoch is not None:
+        # the caller pre-basecalled a validation subset (e.g. every Nth
+        # checkpoint of a long training) — judge only those epochs
+        epochs = [e for e in epochs if e in fastq_per_epoch]
     for epoch in epochs:
         out_dir = os.path.join(model_dir, f"basecalls-weights_{epoch}")
         summ = os.path.join(out_dir, f"results_summ-{exp}-val.csv")
