@@ -225,3 +225,13 @@ def test_slice_eventalign_focus_and_pc_majority():
     pc = fx.slice_eventalign(df.assign(target_id="PC_T1"), Refs(), "PC_T1",
                              kmer_len=3, margin=0, pc_majority=False)
     assert sorted(pc.position.unique()) == [2, 3, 4]
+
+
+def test_read_demux_template_coverage_without_cover_fallback(tmp_path):
+    # CSV already carrying read_alignment_cover but NOT template_coverage
+    df = _demux_df()
+    df["read_alignment_cover"] = 0.9
+    p = tmp_path / "demux.csv"
+    df.to_csv(p)
+    out = fx.read_demux(str(p))
+    assert out.loc["c", "template_coverage"] == pytest.approx(380 / 400)

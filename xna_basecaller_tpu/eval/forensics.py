@@ -52,8 +52,9 @@ def read_demux(path: str, sample_list: str | None = None,
         df["is_pc"] = df.target_id.str.startswith("PC")
     if "type" not in df:
         df["type"] = np.where(df.is_pc, "PC", "XNA")
-    if "read_alignment_cover" not in df:
+    if "read_alignment_length" not in df:
         df["read_alignment_length"] = df.read_end - df.read_start
+    if "read_alignment_cover" not in df:
         df["read_alignment_cover"] = (
             df.n_matches.astype(float)
             / df.read_alignment_length.astype(float))
@@ -323,6 +324,7 @@ def ub_area_qual(record: dict, read_qual: np.ndarray, ub_pos,
     rows = []
     for p in ub_pos:
         c = idx[p]
+        # strict bounds match the reference's sanity assert (utils.py:592)
         if c - margin <= 0 or c + 1 + margin >= len(read_qual):
             return None
         rows.append(read_qual[c - margin:c + 1 + margin])
