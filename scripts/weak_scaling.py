@@ -64,6 +64,7 @@ def measure_infer(cfg, model, params, n_dev, batch_per_dev, chunksize,
 def measure_train(cfg, model, params, n_dev, batch_per_dev, chunksize,
                   iters, devices):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from xna_basecaller_tpu.parallel import mesh as mesh_lib
@@ -82,8 +83,6 @@ def measure_train(cfg, model, params, n_dev, batch_per_dev, chunksize,
     lengths = np.full(n, t_len, np.int32)
     chunks, targets, lengths = mesh_lib.shard_batch(
         mesh, chunks, targets, lengths)
-
-    import jax.numpy as jnp
 
     def step(p_, s_, c, t, L):
         return train_step(p_, s_, c, t, L, cfg, optimizer, jnp.float32)

@@ -163,7 +163,7 @@ def print_alignment(ref: str, seq: str, file=None, width: int = 80) -> int:
     import sys
 
     file = file or sys.stdout
-    score, cigar, (q0, q1, r0, r1) = sw_align(seq, ref)
+    score, cigar, (q0, _, r0, _) = sw_align(seq, ref)
     r_line: list[str] = []
     c_line: list[str] = []
     q_line: list[str] = []
