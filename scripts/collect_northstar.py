@@ -29,9 +29,11 @@ for key, exp, tag in (("val", "CPLX", "val"), ("test", "CPLX", "test"),
                       ("val", "POC", "val"), ("test", "POC", "test")):
     for base in (os.path.join(sm, "basecalls"),
                  os.path.join(sm, f"basecalls-{key}")):
+        suffix = "-x" if key == "POC-test" else ""
         cp(os.path.join(base, f"results_summ-{exp}-{tag}.csv"),
-           f"results_summ-{exp}-{tag}{'-x' if key == 'POC-test' else ''}"
-           ".csv")
+           f"results_summ-{exp}-{tag}{suffix}.csv")
+        cp(os.path.join(base, f"results_summ-{exp}-{tag}-by_tar.csv"),
+           f"results_summ-{exp}-{tag}{suffix}-by_tar.csv")
 # per-epoch validation chain: keep the consolidated log if present
 for name in ("validation_chain.log", "consolidated.csv"):
     cp(os.path.join(sm, name))
