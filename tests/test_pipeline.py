@@ -293,3 +293,24 @@ def test_basecall_quantized_uploads_match(tiny_model):
     # far less than the decision margins the decoder works with
     assert np.mean(diff) < 0.05, np.mean(diff)
     assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)
+
+
+def test_basecall_beam_decode(tiny_model):
+    """beam_width>0 routes decode through the path-collapsing beam search;
+    results stay read-shaped and close to the Viterbi call."""
+    model, params = tiny_model
+    reads = list(simulate_reads(2, mean_len=3000, seed=11))
+    vit = {r.read_id: a["sequence"]
+           for r, a in basecall(model, params, iter(reads),
+                                chunksize=1200, overlap=200, batchsize=4)}
+    beam = list(basecall(model, params, iter(reads),
+                         chunksize=1200, overlap=200, batchsize=4,
+                         beam_width=8))
+    assert {r.read_id for r, _ in beam} == set(vit)
+    from xna_basecaller_tpu.eval.accuracy import accuracy
+    for read, attrs in beam:
+        seq = attrs["sequence"]
+        assert len(seq) > 0 and set(seq) <= set("ACGTXY")
+        # beam and Viterbi call near-identical sequences on an untrained
+        # but deterministic model (same posterior lattice)
+        assert accuracy(vit[read.read_id], seq) > 80.0

@@ -129,7 +129,8 @@ def main(args):
             overlap=cfg.basecaller.overlap,
             batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
             qscores=args.qscores, cancel=cancel,
-            quantize=args.quantize or cfg.basecaller.quantize)
+            quantize=args.quantize or cfg.basecaller.quantize,
+            beam_width=args.beam)
     try:
         for read, attrs in called:
             n_reads += 1
@@ -204,6 +205,9 @@ def argparser():
                         help="treat --read-ids as an exclude list")
     parser.add_argument("--beamsize", default=5, type=int,
                         help="CTC-family beam width (1 = greedy)")
+    parser.add_argument("--beam", default=0, type=int, metavar="W",
+                        help="CRF path-collapsing beam width (0 = Viterbi; "
+                             "koi beam-search equivalent, XNA-capable)")
     parser.add_argument("--revcomp", action="store_true",
                         help="reverse-complement decoding (R strand)")
     parser.add_argument("--qscores", action="store_true",

@@ -47,6 +47,19 @@ def _score_and_decode_qual(scores, n_base: int, state_len: int,
     return paths.astype(jnp.int8), probs.astype(jnp.float16)
 
 
+@partial(jax.jit,
+         static_argnames=("n_base", "state_len", "reverse", "beam_width"))
+def _score_and_decode_beam(scores, n_base: int, state_len: int,
+                           beam_width: int, reverse: bool = False):
+    """Path-collapsing beam decode (ops/crf.py::decode_beam) — the
+    TPU-native stand-in for koi's beam search (crf/basecall.py:43-46),
+    available for the full XNA alphabet."""
+    if reverse:
+        scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    paths, _ = crf_ops.decode_beam(scores, n_base, state_len, beam_width)
+    return paths.astype(jnp.int8)
+
+
 @partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
 def _score_and_decode(scores, n_base: int, state_len: int,
                       reverse: bool = False):
@@ -104,7 +117,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              reverse: bool = False, compute_dtype=jnp.bfloat16,
              legacy_char_stitch: bool = False,
              qscores: bool = False, cancel=None,
-             stitch_workers: int = 4, quantize: bool = False) -> Iterator:
+             stitch_workers: int = 4, quantize: bool = False,
+             beam_width: int = 0) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
@@ -119,6 +133,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     half the bytes of f16 over the relay-limited link; dequantised on
     device) — the TPU analog of the reference's --quantize
     (util.py:304-309 koi int8 graph).
+    ``beam_width > 0`` decodes with the path-collapsing beam search
+    instead of Viterbi (maximises sequence posterior; koi-equivalent).
     """
     stride = model.stride
     qbias = model.cfg.qscore.bias
@@ -160,6 +176,11 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                 paths, probs = _score_and_decode_qual(
                     sc, model.seqdist.n_base, model.seqdist.state_len,
                     reverse)
+            elif beam_width > 0:
+                paths = _score_and_decode_beam(
+                    sc, model.seqdist.n_base, model.seqdist.state_len,
+                    beam_width, reverse)
+                probs = None
             else:
                 paths = _score_and_decode(
                     sc, model.seqdist.n_base, model.seqdist.state_len,

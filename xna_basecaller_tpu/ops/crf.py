@@ -573,6 +573,150 @@ def ctc_viterbi_alignments(stay, move, lengths):
     return jax.nn.one_hot(positions, n, dtype=stay.dtype)
 
 
+# Rolling-hash multipliers for beam identity (two independent 32-bit
+# streams; a collision needs both to collide simultaneously).
+_HASH_P1 = np.uint32(1000003)
+_HASH_P2 = np.uint32(2654435761)
+
+
+def _beam_merge_topk(state, h1, h2, score, beam_width):
+    """Collapse candidates with identical (sequence-hash, state) identity by
+    log-sum-exp, then keep the top ``beam_width``.
+
+    Candidate counts are small (beam_width * (n_base+1)), so the merge is a
+    dense pairwise-equality matrix — vectorised, fixed-shape, TPU-friendly.
+    Returns (top_idx, merged_scores_at_top): indices into the candidate
+    arrays plus the merged scores.
+    """
+    same = ((h1[:, None] == h1[None, :])
+            & (h2[:, None] == h2[None, :])
+            & (state[:, None] == state[None, :]))           # [M, M]
+    merged = semiring_sum(
+        jnp.where(same, score[None, :], _NEG_INF), -1, LOG)  # [M]
+    # keep only the first occurrence of each identity class
+    m = score.shape[0]
+    idx = jnp.arange(m)
+    first = jnp.min(jnp.where(same, idx[None, :], m), axis=1)
+    merged = jnp.where(first == idx, merged, _NEG_INF)
+    top_score, top_idx = jax.lax.top_k(merged, beam_width)
+    return top_idx, top_score
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "beam_width"))
+def decode_beam(scores, n_base: int, state_len: int, beam_width: int = 8):
+    """Path-collapsing beam search over the CRF posterior lattice:
+    [T, N, C] -> per-frame labels [N, T] (0 = stay).
+
+    The reference's 4-base decode uses koi's closed CUDA beam search
+    (crf/basecall.py:43-46); koi has no 6-base variant, so the reference UB
+    path falls back to single-path Viterbi (crf/model.py:215-218).  This is
+    the TPU-native beam equivalent: beams are (emitted-sequence, k-mer
+    state) classes, and paths that emit the same base sequence from the
+    same state — i.e. the same call with different stay/move timing — are
+    merged by log-sum-exp, so the winning beam maximises the SEQUENCE
+    posterior rather than the single-alignment posterior.  At the end,
+    beams are merged across states by sequence alone.
+
+    Works on the same edge log-posteriors the Viterbi decode scans
+    (alpha + score + beta - logZ), so beam_width=1 degenerates to greedy
+    posterior following and large widths approach the exact max-sequence
+    decode.  Labels are placed at their move frame, so the output drops
+    into the same frame-accurate stitching as ``decode_paths``.
+    """
+    scores = scores.astype(jnp.float32)
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    nsd = ns // n_base
+    nb1 = n_base + 1
+    Ms = scores.reshape(T, N, ns, nb1)
+    alphas = forward_scores(scores, n_base, state_len, LOG)   # [T+1,N,ns]
+    betas = backward_scores(scores, n_base, state_len, LOG)   # [T+1,N,ns]
+    logz = semiring_sum(alphas[-1], -1, LOG)
+
+    def edge_t(ms_t, alpha_t, beta_n):
+        pred_a = _expand_pred(alpha_t, n_base, ns)
+        return (jnp.concatenate([alpha_t[..., None], pred_a], -1) + ms_t
+                + beta_n[..., None] - logz[:, None, None])   # [N,ns,nb1]
+
+    # ---- t = 0: every (state, column) pair is a distinct beam identity
+    e0 = edge_t(Ms[0], alphas[0], betas[1]).reshape(N, ns * nb1)
+    if e0.shape[1] < beam_width:
+        e0 = jnp.pad(e0, ((0, 0), (0, beam_width - e0.shape[1])),
+                     constant_values=_NEG_INF)
+    score0, idx0 = jax.lax.top_k(e0, beam_width)              # [N,B]
+    idx0 = jnp.minimum(idx0, ns * nb1 - 1)
+    label0 = (idx0 % nb1).astype(jnp.int32)
+    state0 = (idx0 // nb1).astype(jnp.int32)
+    h0 = label0.astype(jnp.uint32)
+
+    def beam_step(carry, inp):
+        state, h1, h2, score = carry                          # [N,B] each
+        ms_t, alpha_t, beta_n = inp
+        s2 = edge_t(ms_t, alpha_t, beta_n)                    # [N,ns,nb1]
+
+        def one(state_b, h1_b, h2_b, score_b, s2_n):
+            B = state_b.shape[0]
+            dropped = state_b // nsd                          # [B]
+            lab_mv = (dropped + 1).astype(jnp.int32)
+            # stay: same identity, same state
+            stay_sc = score_b + s2_n[state_b, 0]
+            # moves: append base b2; emitted label is the dropped base + 1
+            new_st = ((state_b % nsd)[:, None] * n_base
+                      + jnp.arange(n_base)[None, :])          # [B,nb]
+            mv_sc = score_b[:, None] + s2_n[new_st, 1 + dropped[:, None]]
+            h1_mv = h1_b * _HASH_P1 + lab_mv.astype(jnp.uint32)
+            h2_mv = h2_b * _HASH_P2 + lab_mv.astype(jnp.uint32)
+
+            def cat(a_stay, a_mv):
+                a_mv = jnp.broadcast_to(
+                    a_mv.reshape(B, -1), (B, n_base))
+                return jnp.concatenate(
+                    [a_stay[:, None], a_mv], 1).reshape(-1)
+
+            c_state = jnp.concatenate([state_b[:, None], new_st],
+                                      1).reshape(-1)
+            c_score = jnp.concatenate([stay_sc[:, None], mv_sc],
+                                      1).reshape(-1)
+            c_h1 = cat(h1_b, h1_mv[:, None])
+            c_h2 = cat(h2_b, h2_mv[:, None])
+            c_label = cat(jnp.zeros((B,), jnp.int32), lab_mv[:, None])
+            c_parent = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nb1)
+            top, top_sc = _beam_merge_topk(
+                c_state, c_h1, c_h2, c_score, B)
+            return (c_state[top], c_h1[top], c_h2[top], top_sc,
+                    c_parent[top], c_label[top])
+
+        st, nh1, nh2, sc, parent, label = jax.vmap(one)(
+            state, h1, h2, score, s2)
+        return (st, nh1, nh2, sc), (parent, label)
+
+    carry0 = (state0, h0, h0, score0)
+    (stateT, h1T, h2T, scoreT), (parents, labels) = jax.lax.scan(
+        beam_step, carry0, (Ms[1:], alphas[1:-1], betas[2:]))
+
+    # ---- final: merge beams across states by sequence hash alone
+    def pick_best(h1_b, h2_b, score_b):
+        same = (h1_b[:, None] == h1_b[None, :]) & \
+               (h2_b[:, None] == h2_b[None, :])
+        merged = semiring_sum(
+            jnp.where(same, score_b[None, :], _NEG_INF), -1, LOG)
+        return jnp.argmax(merged).astype(jnp.int32), jnp.max(merged)
+
+    best, best_score = jax.vmap(pick_best)(h1T, h2T, scoreT)
+
+    def traceback(best_n, parents_n, labels_n, label0_n):
+        def back(cur, pl):
+            parent_t, label_t = pl
+            return parent_t[cur], label_t[cur]
+        cur, labs = jax.lax.scan(back, best_n, (parents_n, labels_n),
+                                 reverse=True)                # [T-1]
+        return jnp.concatenate([label0_n[cur][None], labs])
+
+    out = jax.vmap(traceback, in_axes=(0, 1, 1, 0))(
+        best, parents, labels, label0)                        # [N,T]
+    return out.astype(jnp.int32), best_score
+
+
 @dataclass(frozen=True)
 class CTCCRF:
     """Convenience bundle mirroring the reference CTC_CRF object
@@ -608,6 +752,11 @@ class CTCCRF:
     def decode_batch(self, scores) -> list[str]:
         paths = np.asarray(decode_paths(scores, self.n_base, self.state_len))
         return [self.path_to_str(p) for p in paths]
+
+    def decode_beam_batch(self, scores, beam_width: int = 8) -> list[str]:
+        paths, _ = decode_beam(scores, self.n_base, self.state_len,
+                               beam_width)
+        return [self.path_to_str(p) for p in np.asarray(paths)]
 
     def path_to_str(self, path) -> str:
         alpha = np.frombuffer("".join(self.alphabet).encode(), dtype="u1")
