@@ -252,7 +252,7 @@ def _left_pack(paths: np.ndarray) -> np.ndarray:
 def run_basecaller(model, params, reads, fastq_out, summary_out=None,
                    chunksize: int = 3600, overlap: int = 500,
                    batchsize: int = 256, reverse: bool = False,
-                   quantize: bool = False) -> dict:
+                   quantize: bool = False, beam_width: int = 0) -> dict:
     """Drive the full pipeline, writing FASTQ (+ summary); returns timing
     stats incl. the headline samples/s (reference cli/basecaller.py:153-161).
     """
@@ -261,7 +261,8 @@ def run_basecaller(model, params, reads, fastq_out, summary_out=None,
     n_samples = 0
     for read, attrs in basecall(
             model, params, reads, chunksize=chunksize, overlap=overlap,
-            batchsize=batchsize, reverse=reverse, quantize=quantize):
+            batchsize=batchsize, reverse=reverse, quantize=quantize,
+            beam_width=beam_width):
         n_reads += 1
         n_samples += len(read.signal)
         fastq_out.write(

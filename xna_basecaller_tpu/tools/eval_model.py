@@ -31,7 +31,7 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
                targets_list_file: str | None = None,
                min_reads_count: int | None = None, debug: bool = False,
                save_confusion_matrix: bool = False,
-               q_scores: bool = False,
+               q_scores: bool = False, beam_width: int = 0,
                log=print) -> dict:
     """Run the evaluation chain for one experiment/split; returns the
     summary dict and writes CSVs into ``basecalls_dir``."""
@@ -61,7 +61,8 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
                 model, params, reads, fq,
                 chunksize=cfg.basecaller.chunksize,
                 overlap=cfg.basecaller.overlap,
-                batchsize=cfg.basecaller.batchsize)
+                batchsize=cfg.basecaller.batchsize,
+                beam_width=beam_width)
     reads = read_fastq(fastq_path)
     if not reads:
         raise RuntimeError(f"no reads in {fastq_path}")
