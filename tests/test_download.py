@@ -68,3 +68,116 @@ def test_install_torch_model(tmp_path):
     np.testing.assert_allclose(
         np.asarray(want["head"]["w"]), np.asarray(got["head"]["w"]),
         rtol=1e-6)
+
+
+def _make_model_zip(tmp_path, name="zipmodel"):
+    import zipfile
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    model = Model(cfg)
+    params = model.init(jax.random.key(1))
+    src = tmp_path / name
+    src.mkdir()
+    config_lib.save(cfg, str(src))
+    ckpt.save_checkpoint(str(src), 1, params)
+    zpath = tmp_path / f"{name}.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in os.listdir(src):
+            zf.write(src / f, arcname=f"{name}/{f}")
+    return zpath
+
+
+def test_file_fetch_zip_extract_skip_force(tmp_path, capsys):
+    """File fetcher: file:// zip download, extraction, archive removal,
+    skip-if-exists, --force re-fetch (reference download.py:36-66)."""
+    from xna_basecaller_tpu.cli.download import File
+
+    zpath = _make_model_zip(tmp_path)
+    dest = tmp_path / "models"
+    logs = []
+    f = File(str(dest), zpath.as_uri(), log=logs.append)
+    out = f.download()
+    assert os.path.isdir(out) and out.endswith("zipmodel")
+    assert os.path.exists(os.path.join(out, "config.toml"))
+    assert not os.path.exists(dest / "zipmodel.zip")  # archive removed
+    # model actually loads
+    _, p, _ = load_model(out)
+    assert "head" in p
+    # second fetch skips
+    File(str(dest), zpath.as_uri(), log=logs.append).download()
+    assert any("skipping" in l for l in logs)
+    # force re-fetches
+    logs.clear()
+    File(str(dest), zpath.as_uri(), force=True, log=logs.append).download()
+    assert any("downloaded" in l for l in logs)
+
+
+def test_file_fetch_sha256(tmp_path):
+    from xna_basecaller_tpu.cli.download import File
+    import hashlib
+    zpath = _make_model_zip(tmp_path, "shamodel")
+    good = hashlib.sha256(zpath.read_bytes()).hexdigest()
+    dest = tmp_path / "m1"
+    File(str(dest), zpath.as_uri(), sha256=good,
+         log=lambda *a: None).download()
+    assert os.path.isdir(dest / "shamodel")
+    with pytest.raises(SystemExit, match="sha256 mismatch"):
+        File(str(tmp_path / "m2"), zpath.as_uri(), sha256="0" * 64,
+             log=lambda *a: None).download()
+    assert not os.path.exists(tmp_path / "m2" / "shamodel.zip")
+
+
+def test_file_fetch_http_content_disposition(tmp_path):
+    """localhost HTTP fetch honouring Content-Disposition naming."""
+    import http.server
+    import threading
+    from xna_basecaller_tpu.cli.download import File
+
+    zpath = _make_model_zip(tmp_path, "httpmodel")
+    payload = zpath.read_bytes()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("Content-Disposition",
+                             'attachment; filename="httpmodel.zip"')
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/opaque-fragment"
+        dest = tmp_path / "reg"
+        out = File(str(dest), url, log=lambda *a: None).download()
+        assert out.endswith("httpmodel")
+        assert os.path.exists(os.path.join(out, "config.toml"))
+    finally:
+        srv.shutdown()
+
+
+def test_download_cli_with_mirror(tmp_path, monkeypatch, capsys):
+    """The CLI end-to-end against a file:// mirror (registry semantics)."""
+    from xna_basecaller_tpu.cli import download as dl
+
+    zpath = _make_model_zip(tmp_path, "mirrormodel")
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    (mirror / "xna_r9.4.1_e8_sup@v3.3.zip").write_bytes(zpath.read_bytes())
+    monkeypatch.setenv("XNACALL_MODEL_BASE_URL", mirror.as_uri())
+    reg = tmp_path / "registry"
+    cli_main(["download", "--models", "--directory", str(reg)])
+    # zip contained "mirrormodel/"; registry extraction landed it there
+    assert os.path.exists(reg / "mirrormodel" / "config.toml")
+    out = capsys.readouterr().out
+    assert "downloading models" in out
+
+
+def test_download_cli_no_mirror_errors(tmp_path, monkeypatch):
+    monkeypatch.delenv("XNACALL_MODEL_BASE_URL", raising=False)
+    with pytest.raises(SystemExit, match="no model mirror"):
+        cli_main(["download", "--models", "--directory", str(tmp_path)])
