@@ -6,12 +6,35 @@
 # down the probe fails and we just wait — killing would only create a new
 # process that hangs at backend init.
 #
-# usage: hang_watchdog.sh <logfile> <pattern-free-exact-pidfile-or-pid>
+# usage: hang_watchdog.sh <logfile> <pid | parent:SUPERVISOR_PID> [stale_s]
+#
+# Numeric pid: watch that exact process; exit after it dies or is killed.
+# parent:PID : watch the supervisor's current child (resolved by exact
+#              parent pid each cycle — never by name/pattern), surviving
+#              supervisor relaunches; exit when the supervisor exits.
 set -u
 LOG=$1
-JOB_PID=$2
+TARGET=$2
 STALE_S=${3:-600}
-while kill -0 "$JOB_PID" 2>/dev/null; do
+
+resolve_pid() {
+  case "$TARGET" in
+    parent:*) pgrep -P "${TARGET#parent:}" 2>/dev/null | head -1 ;;
+    *) echo "$TARGET" ;;
+  esac
+}
+
+while :; do
+  JOB_PID=$(resolve_pid)
+  if [ -z "$JOB_PID" ] || ! kill -0 "$JOB_PID" 2>/dev/null; then
+    case "$TARGET" in
+      parent:*)
+        kill -0 "${TARGET#parent:}" 2>/dev/null || exit 0
+        sleep 30
+        continue ;;
+      *) exit 0 ;;
+    esac
+  fi
   sleep 60
   now=$(date +%s)
   mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
@@ -27,7 +50,10 @@ print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))" >/dev/null 2>&1; then
     kill "$JOB_PID" 2>/dev/null
     sleep 10
     kill -9 "$JOB_PID" 2>/dev/null
-    exit 0
+    case "$TARGET" in
+      parent:*) continue ;;
+      *) exit 0 ;;
+    esac
   else
     echo "$(date -Is) tunnel down; waiting" >&2
   fi
