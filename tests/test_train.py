@@ -66,10 +66,15 @@ def test_trainer_resume(tmp_path):
     train, valid = make_datasets()
     kw = dict(batchsize=4, lr=1e-3, warmup_steps=3, log=lambda *a: None)
     Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=1)
-    out = Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=1)
-    # resumed from epoch 1 -> trained epoch 2
-    assert out["history"][0]["epoch"] == 2
+    # `epochs` is the TOTAL count (reference training.py:189-204):
+    # resume from epoch 1 with epochs=2 trains exactly epoch 2 ...
+    out = Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=2)
+    assert [h["epoch"] for h in out["history"]] == [2]
     assert os.path.exists(tmp_path / "weights_2.npz")
+    # ... and a relaunch at the same total is a no-op
+    out = Trainer(model, train, valid, **kw).fit(str(tmp_path), epochs=2)
+    assert out["history"] == []
+    assert not os.path.exists(tmp_path / "weights_3.npz")
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -214,7 +214,12 @@ class Trainer:
 
         history = []
         step = 0
-        for epoch in range(1 + last_epoch, epochs + 1 + last_epoch):
+        # `epochs` is the TOTAL epoch count: resume trains from
+        # last_epoch+1 up to it (reference training.py:189-204), so a
+        # relaunched run converges instead of extending forever.
+        if last_epoch >= epochs:
+            self.log(f"[already trained to epoch {last_epoch} >= {epochs}]")
+        for epoch in range(1 + last_epoch, epochs + 1):
             try:
                 history, step = self._run_epoch(
                     workdir, epoch, params_box := [params, opt_state],
