@@ -121,6 +121,61 @@ def test_trainable_pallas_lstm_grads_match_scan():
         pl.pallas_call = orig
 
 
+def test_int8_lstm_pallas_matches_quantized_oracle():
+    """int8 recurrence kernel (koi --quantize parity): bit-exact against a
+    plain-JAX oracle of the same quantized math, and close to the f32
+    recurrence (the quantization error budget)."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        H, T, N = 128, 16, 4
+        p = init_lstm_params(jax.random.key(3), H, H)
+        x = jax.random.normal(jax.random.key(4), (T, N, H), jnp.float32)
+        y_q = lstm_pallas.lstm_forward_pallas_int8(p, x)
+
+        # oracle: same per-column int8 weights + per-step h requantization
+        w_q, scale = lstm_pallas.quantize_w_hh(p["w_hh"])
+        xp = jnp.einsum("tni,ih->tnh", x, p["w_ih"]) + p["bias"]
+        deq = scale / 127.0
+
+        def step(carry, xp_t):
+            h, c = carry
+            h_q = jnp.clip(jnp.round(h * 127.0), -127, 127)
+            gates = xp_t + (h_q @ w_q.astype(jnp.float32)) * deq[None, :]
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        z = jnp.zeros((N, H), jnp.float32)
+        _, y_ref = jax.lax.scan(step, (z, z), xp)
+        np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # quantization error vs the exact f32 recurrence stays small
+        y_f32 = lstm_forward(p, x)
+        err = np.abs(np.asarray(y_q) - np.asarray(y_f32))
+        assert err.mean() < 5e-3, err.mean()
+        assert err.max() < 5e-2, err.max()
+
+        # reverse direction plumbs through
+        y_qr = lstm_pallas.lstm_forward_pallas_int8(p, x, reverse=True)
+        assert y_qr.shape == y_q.shape
+    finally:
+        pl.pallas_call = orig
+
+
 @pytest.mark.parametrize("n_base,state_len", [(4, 2), (6, 3)])
 def test_edge_posteriors_pallas_matches(n_base, state_len):
     T, N = 10, 3
@@ -276,3 +331,42 @@ def test_full_model_grads_pallas_trainable_match_scan():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_full_model_forward_int8_lstm_close_to_f32():
+    """forward(lstm_int8=True) on the (mocked) TPU inference path: the
+    int8 recurrence leaves the CRF score tensor within the decode margin
+    of the f32 path."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.models import crf_model
+    from xna_basecaller_tpu.utils import platform
+
+    orig_call = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=64, num_rnn_layers=3))
+    params = crf_model.init_params(jax.random.key(0), cfg)
+    sig = jax.random.normal(jax.random.key(1), (2, 800), jnp.float32)
+
+    ref = crf_model.forward(params, sig, cfg, compute_dtype=jnp.float32)
+
+    pl.pallas_call = patched
+    orig_is_tpu = platform.is_tpu
+    platform.is_tpu = lambda: True
+    try:
+        jax.clear_caches()
+        q = crf_model.forward(params, sig, cfg, compute_dtype=jnp.float32,
+                              inference=True, lstm_int8=True)
+    finally:
+        platform.is_tpu = orig_is_tpu
+        pl.pallas_call = orig_call
+        jax.clear_caches()
+
+    diff = np.abs(np.asarray(q) - np.asarray(ref))
+    # scores live in [-5, 5] (tanh x scale)
+    assert diff.mean() < 0.05, diff.mean()
+    assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)

@@ -131,7 +131,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     threads (reference ThreadMap, multiprocessing.py:231-266).
     ``quantize`` uploads the signal as int8 (round(sig * QUANT_SCALE),
     half the bytes of f16 over the relay-limited link; dequantised on
-    device) — the TPU analog of the reference's --quantize
+    device) and runs the fused LSTM recurrence with int8 weights/hidden
+    state (2x MXU rate) — the TPU analog of the reference's --quantize
     (util.py:304-309 koi int8 graph).
     ``beam_width > 0`` decodes with the path-collapsing beam search
     instead of Viterbi (maximises sequence posterior; koi-equivalent).
@@ -171,7 +172,11 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
         # the accelerator pipelines batch k+1 while batch k's results
         # drain device->host in the fetch stage below
         for keys, n, dev in uploads:
-            sc = model.apply(params, dev, compute_dtype=compute_dtype)
+            # quantize also switches the fused LSTM recurrence to int8
+            # weights/hidden (reference util.py:304-309: --quantize selects
+            # the koi int8 graph), doubling the MXU rate on v5e
+            sc = model.apply(params, dev, compute_dtype=compute_dtype,
+                             lstm_int8=quantize)
             if qscores:
                 paths, probs = _score_and_decode_qual(
                     sc, model.seqdist.n_base, model.seqdist.state_len,

@@ -99,9 +99,11 @@ def crf_head_forward(params, x, cfg: ModelConfig):
     return scores
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "inference"))
+@partial(jax.jit,
+         static_argnames=("cfg", "compute_dtype", "inference", "lstm_int8"))
 def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
-            inference: bool = False, dropout_rng=None):
+            inference: bool = False, dropout_rng=None,
+            lstm_int8: bool = False):
     """Full encoder forward: raw signal [N, T_sig] (or [N, T_sig, 1]) ->
     CRF scores [T, N, n_score] in float32.
 
@@ -143,8 +145,15 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
     if inference and is_tpu():
         from xna_basecaller_tpu.ops.lstm_pallas import (
             lstm_stack_forward_pallas,
+            lstm_stack_forward_pallas_int8,
         )
-        x = lstm_stack_forward_pallas(params["rnn"], rnn_directions(cfg), x)
+        # lstm_int8: per-column int8 W_hh + per-step int8 hidden state in
+        # the fused recurrence — the MXU's int8 rate (2x bf16 on v5e) on
+        # the serial bottleneck; the reference's --quantize / koi int8
+        # graph (util.py:304-309)
+        stack = (lstm_stack_forward_pallas_int8 if lstm_int8
+                 else lstm_stack_forward_pallas)
+        x = stack(params["rnn"], rnn_directions(cfg), x)
     else:
         dirs = rnn_directions(cfg)
         if is_tpu():
@@ -189,9 +198,9 @@ class Model:
         return init_params(key, self.cfg, dtype)
 
     def apply(self, params, signal, compute_dtype=jnp.bfloat16,
-              inference: bool = True):
+              inference: bool = True, lstm_int8: bool = False):
         return forward(params, signal, self.cfg, compute_dtype,
-                       inference=inference)
+                       inference=inference, lstm_int8=lstm_int8)
 
     def decode_batch(self, scores) -> list[str]:
         return self.seqdist.decode_batch(scores)

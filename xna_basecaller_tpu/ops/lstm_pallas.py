@@ -128,6 +128,112 @@ def lstm_stack_forward_pallas(layers, directions, x):
 
 
 # ---------------------------------------------------------------------------
+# int8-quantized recurrence (the reference's --quantize / koi int8 LSTM
+# graph, util.py:304-309): W_hh is held per-column symmetric int8 and the
+# hidden state is requantized to int8 each step, so the serial [N,H]x[H,4H]
+# matmul runs the MXU at its int8 rate (2x bf16 on v5e).  |h| < 1 by
+# construction (o*tanh(c)), so the hidden scale is the constant 1/127.
+
+def quantize_w_hh(w_hh):
+    """Per-column symmetric int8 quantization: w ~= w_q * scale[None, :]."""
+    w = w_hh.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _lstm_scan_kernel_int8(xp_ref, wq_ref, scale_ref, y_ref, h_ref, c_ref):
+    """UNROLL timesteps with the recurrent matmul in int8.
+
+    gates = xp_t + (h_q @ w_q) * (scale / 127), h_q = round(h * 127).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    h = h_ref[:].astype(jnp.float32)
+    c = c_ref[:]
+    H = h.shape[1]
+    deq = (scale_ref[:] * (1.0 / 127.0)).astype(jnp.float32)
+    for u in range(UNROLL):
+        h_q = jnp.clip(jnp.round(h * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            h_q, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        gates = xp_ref[u].astype(jnp.float32) + acc.astype(jnp.float32) * deq
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        y_ref[u] = h.astype(y_ref.dtype)
+    h_ref[:] = h.astype(h_ref.dtype)
+    c_ref[:] = c
+
+
+@partial(jax.jit, static_argnames=("block_n",))
+def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None):
+    """xp [T, N, 4H] f32/bf16, w_q int8 [H, 4H], scale f32 [4H] ->
+    hidden states [T, N, H] (xp dtype)."""
+    T, N, H4 = xp.shape
+    H = H4 // 4
+    pad = (-T) % UNROLL
+    if pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
+    Tp = T + pad
+    BN = block_n or _auto_block_n(N)
+    h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
+    ys = pl.pallas_call(
+        _lstm_scan_kernel_int8,
+        grid=(N // BN, Tp // UNROLL),
+        in_specs=[
+            pl.BlockSpec((UNROLL, BN, H4), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4,), lambda b, t: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((UNROLL, BN, H), lambda b, t: (t, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, N, H), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BN, H), h_dtype),
+            pltpu.VMEM((BN, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(xp, w_q, scale)
+    return ys[:T] if pad else ys
+
+
+def lstm_forward_pallas_int8(params, x, reverse: bool = False):
+    """lstm_forward with the int8 recurrence.  The input projection stays
+    a bf16 MXU matmul (parallel over T, not the serial bottleneck)."""
+    if reverse:
+        x = jnp.flip(x, axis=0)
+    xp = (jnp.einsum("tni,ih->tnh", x, params["w_ih"],
+                     preferred_element_type=jnp.float32)
+          + params["bias"]).astype(x.dtype)
+    w_q, scale = quantize_w_hh(params["w_hh"])
+    ys = lstm_recurrence_pallas_int8(xp, w_q, scale)
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return ys
+
+
+def lstm_stack_forward_pallas_int8(layers, directions, x):
+    for params, rev in zip(layers, directions):
+        x = lstm_forward_pallas_int8(params, x, reverse=rev)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Trainable variant: fused forward kernel + analytic backward (custom VJP)
 
 def _lstm_fwd_cells_kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
