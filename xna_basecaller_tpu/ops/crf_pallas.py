@@ -50,31 +50,15 @@ def _expand_pred_t(alpha, n_base, ns):
     return ab.reshape(ns, n_base, N)            # j = m * n_base + r
 
 
-def _fwd_kernel(n_base, ns, ms_ref, alphas_ref, alpha_ref):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        alpha_ref[:] = jnp.zeros_like(alpha_ref)
-
-    alpha = alpha_ref[:]                        # [ns, N]
-    alphas_ref[0] = alpha                       # alpha_t (pre-transition)
-    ms_t = ms_ref[0]                            # [ns, nb+1, N]
+def _fwd_step(n_base, ns, ms_t, alpha):
+    """alpha_t -> alpha_{t+1} (Log semiring)."""
     stay = (alpha + ms_t[:, 0, :])[:, None]
     move = _expand_pred_t(alpha, n_base, ns) + ms_t[:, 1:, :]
-    alpha_ref[:] = _lse_mid(jnp.concatenate([stay, move], axis=1))
+    return _lse_mid(jnp.concatenate([stay, move], axis=1))
 
 
-def _bwd_kernel(n_base, ns, ms_ref, betas_ref, beta_ref):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        beta_ref[:] = jnp.zeros_like(beta_ref)
-
-    beta = beta_ref[:]                          # [ns, N]
-    betas_ref[0] = beta                         # beta_{t+1}
-    ms_t = ms_ref[0]
+def _bwd_step(n_base, ns, ms_t, beta):
+    """beta_{t+1} -> beta_t (Log semiring)."""
     nsd = ns // n_base
     N = beta.shape[-1]
     # Mr[m, b, i, n] = ms_t[m*nb + b, 1 + i, n]
@@ -86,8 +70,51 @@ def _bwd_kernel(n_base, ns, ms_ref, betas_ref, beta_ref):
                                   keepdims=True)))[:, 0]   # [m, i, n]
     move = jnp.transpose(summed, (1, 0, 2)).reshape(ns, N)  # k = i*nsd+m
     stay = ms_t[:, 0, :] + beta
-    beta_ref[:] = _lse_mid(
+    return _lse_mid(
         jnp.concatenate([stay[:, None], move[:, None]], axis=1))
+
+
+def _fwd_kernel(n_base, ns, ms_ref, alphas_ref, alpha_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        alpha_ref[:] = jnp.zeros_like(alpha_ref)
+
+    alpha = alpha_ref[:]                        # [ns, N]
+    alphas_ref[0] = alpha                       # alpha_t (pre-transition)
+    alpha_ref[:] = _fwd_step(n_base, ns, ms_ref[0], alpha)
+
+
+def _bwd_kernel(n_base, ns, ms_ref, betas_ref, beta_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        beta_ref[:] = jnp.zeros_like(beta_ref)
+
+    beta = beta_ref[:]                          # [ns, N]
+    betas_ref[0] = beta                         # beta_{t+1}
+    beta_ref[:] = _bwd_step(n_base, ns, ms_ref[0], beta)
+
+
+def _bwd_kernel_unrolled(n_base, ns, unroll, ms_ref, betas_ref, beta0_ref,
+                         beta_ref):
+    """unroll timesteps per grid step on a (batch-tile, time) grid, time
+    blocks addressed in reverse order by the index maps
+    (betas_ref[u] = beta_{t_u + 1})."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        beta_ref[:] = jnp.zeros_like(beta_ref)
+
+    beta = beta_ref[:]
+    for u in reversed(range(unroll)):
+        betas_ref[u] = beta
+        beta = _bwd_step(n_base, ns, ms_ref[u], beta)
+    beta_ref[:] = beta
+    beta0_ref[:] = beta
 
 
 def _viterbi_kernel(n_base, ns, ms_ref, alpha_ref, beta_ref, logz_ref,
@@ -180,78 +207,198 @@ def decode_paths_pallas(scores, n_base: int, state_len: int,
     """Fused reference decode chain on TPU: scores -> labels [N, T].
 
     Bit-compatible with ops.crf.decode_paths (same per-step op order).
-    Batches beyond the VMEM-safe size are decoded in tiles via lax.map
-    (one compiled body, sequential over tiles) — the per-step Viterbi
-    blocks hold [ns, n_base+1, N] f32 plus double buffering, which
-    overflows the 16MB scoped budget past N ≈ 256 at ns=216.
+    Arbitrary batch sizes are handled by the kernels' own batch-tile
+    grid dimension (each tile's carries live in per-tile VMEM scratch).
     """
-    scores = scores.astype(jnp.float32)
-    T, N, C = scores.shape
-    MAX_N = 256
-    if N > MAX_N and not interpret:
-        bn = next((b for b in (256, 192, 128, 96, 64) if N % b == 0), None)
-        if bn is not None:
-            k = N // bn
-            tiles = jnp.transpose(
-                scores.reshape(T, k, bn, C), (1, 0, 2, 3))
-            labels = jax.lax.map(
-                lambda s: _decode_paths_impl(s, n_base, state_len,
-                                             interpret), tiles)
-            return labels.reshape(N, -1)
     return _decode_paths_impl(scores, n_base, state_len, interpret)
+
+
+def _fwd_viterbi_kernel(n_base, ns, n_blocks, unroll, ms_ref, beta_ref,
+                        logz_ref, ks_ref, vfin_ref, alpha_ref, v_ref):
+    """Fused forward scan + Viterbi: one pass over MsT instead of two.
+
+    At each timestep the alpha scratch holds alpha_t (pre-transition), so
+    the edge posteriors and the Viterbi step use exactly the values the
+    separate kernels used — same op order, bit-compatible."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        alpha_ref[:] = jnp.zeros_like(alpha_ref)
+        v_ref[:] = jnp.zeros_like(v_ref)
+
+    alpha = alpha_ref[:]                        # [ns, BN] == alpha_t
+    v = v_ref[:]
+    logz = logz_ref[:]                          # [1, BN]
+    for u in range(unroll):
+        ms_t = ms_ref[u]                        # [ns, nb+1, BN]
+        beta_n = beta_ref[u]                    # beta_{t+1}
+        pred_a = _expand_pred_t(alpha, n_base, ns)
+        edge = jnp.concatenate([alpha[:, None], pred_a], axis=1) + ms_t \
+            + beta_n[:, None, :] - logz[:, None, :]
+        s2 = jnp.log(jnp.exp(edge) + 1e-8)
+        stay = (v + s2[:, 0, :])[:, None]
+        move = _expand_pred_t(v, n_base, ns) + s2[:, 1:, :]
+        full = jnp.concatenate([stay, move], axis=1)  # [ns, nb+1, BN]
+        ks_ref[u] = jnp.argmax(full, axis=1).astype(jnp.int32)
+        v = jnp.max(full, axis=1)
+        # alpha_{t+1} (identical math to _fwd_kernel)
+        stay_a = (alpha + ms_t[:, 0, :])[:, None]
+        alpha = _lse_mid(
+            jnp.concatenate([stay_a, pred_a + ms_t[:, 1:, :]], axis=1))
+    alpha_ref[:] = alpha
+    v_ref[:] = v
+
+    @pl.when(t == n_blocks - 1)
+    def _():
+        vfin_ref[:] = v_ref[:]
+
+
+def _traceback_kernel(ns, nsd, n_base, unroll, jinit_ref, ks_ref, lab_ref,
+                      j_ref):
+    """Viterbi traceback as a reverse-indexed Pallas scan.
+
+    The per-step gather labels[t] = ks[t][j, n] is a one-hot
+    select-and-reduce over the 216-state (sublane) axis — Mosaic has no
+    per-lane dynamic gather, but a [ns, BN] masked sum is cheap VPU work.
+    Replaces a 720-step XLA scan of tiny dynamic gathers (dispatch-bound).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        j_ref[:] = jinit_ref[:]
+
+    j = j_ref[:]                                # [1, BN] int32
+    N = j.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ns, N), 0)
+    for u in reversed(range(unroll)):
+        k_t = ks_ref[u]                         # [ns, BN] int32
+        k = jnp.sum(jnp.where(rows == j, k_t, 0), axis=0)[None, :]
+        lab_ref[u] = k[0]
+        j = jnp.where(k == 0, j, (k - 1) * nsd + j // n_base)
+    j_ref[:] = j
+
+
+def _pick_tiles(T, N, per_step_per_n, fixed_per_n,
+                budget=12 * 2 ** 20, candidates=(4, 3, 2, 1)):
+    """(batch tile BN, time unroll U): largest BN <= 128 dividing N, then
+    the largest U dividing T whose double-buffered blocks plus per-tile
+    temporaries fit the scoped VMEM budget."""
+    bn = next((b for b in (128, 96, 64, 48, 32, 16, 8) if N % b == 0), N)
+    for u in candidates:
+        if T % u == 0 and (2 * u * per_step_per_n + fixed_per_n) * bn \
+                <= budget:
+            return bn, u
+    return bn, 1
 
 
 def _decode_paths_impl(scores, n_base: int, state_len: int,
                        interpret: bool = False):
+    """Two passes over the transposed score tensor (down from five
+    streamings in the naive chain): one XLA transpose; a backward scan
+    addressed in reverse through the grid index maps (no flip copies)
+    that also yields logZ = logsumexp(beta_0) (alpha_0 == 0, so this is
+    the same partition function the forward scan ends with); a fused
+    forward+Viterbi pass that never materialises the alphas; and a
+    Pallas traceback scan (one-hot gathers).  All scans run on a
+    (batch-tile, time) grid with several timesteps per grid step to
+    amortise the per-iteration overhead within the VMEM budget."""
+    scores = scores.astype(jnp.float32)
     T, N, C = scores.shape
     ns = n_base ** state_len
     nsd = ns // n_base
     MsT = _transpose_scores(scores, n_base, ns)
-    alphas, logz = forward_scan_pallas(scores, n_base, state_len,
-                                       interpret=interpret)
-    betas = backward_scan_pallas(scores, n_base, state_len,
-                                 interpret=interpret)
-    logz_row = logz[None, :]  # [1, N]
+    nb1 = n_base + 1
 
-    T_, ns_, nb1, N_ = MsT.shape
+    # backward scan, reverse-indexed: betas[t] == beta_{t+1}
+    # fixed: one [ns, nb, nb, BN] temp chain in _bwd_step (~3 live copies)
+    BN, u_b = _pick_tiles(T, N, ns * (nb1 + 1) * 4, 4 * ns * nb1 * 4)
+    nb_blocks = T // u_b
+    nbt = N // BN
+    betas, beta0 = pl.pallas_call(
+        functools.partial(_bwd_kernel_unrolled, n_base, ns, u_b),
+        grid=(nbt, nb_blocks),
+        in_specs=[pl.BlockSpec((u_b, ns, nb1, BN),
+                               lambda b, t: (nb_blocks - 1 - t, 0, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((u_b, ns, BN),
+                         lambda b, t: (nb_blocks - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, BN), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, ns, N), jnp.float32),
+            jax.ShapeDtypeStruct((ns, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((ns, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(MsT)
+    logz_row = jax.nn.logsumexp(beta0, axis=0)[None, :]  # [1, N]
+
+    # fused forward+Viterbi; fixed: edge/s2/full temps [ns, nb1, BN] plus
+    # the two carry scratches
+    BN, u_v = _pick_tiles(T, N, ns * (nb1 + 2) * 4,
+                          (4 * ns * nb1 + 2 * ns) * 4)
+    nv_blocks = T // u_v
     ks, v_final = pl.pallas_call(
-        functools.partial(_viterbi_kernel, n_base, ns),
-        grid=(T,),
+        functools.partial(_fwd_viterbi_kernel, n_base, ns, nv_blocks, u_v),
+        grid=(N // BN, nv_blocks),
         in_specs=[
-            pl.BlockSpec((1, ns, nb1, N), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((u_v, ns, nb1, BN), lambda b, t: (t, 0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, N), lambda t: (t, 0, 0),
+            pl.BlockSpec((u_v, ns, BN), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, N), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda t: (0, 0),
+            pl.BlockSpec((1, BN), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, ns, N), lambda t: (t, 0, 0),
+            pl.BlockSpec((u_v, ns, BN), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, N), lambda t: (0, 0),
+            pl.BlockSpec((ns, BN), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, ns, N), jnp.int32),
             jax.ShapeDtypeStruct((ns, N), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((ns, BN), jnp.float32),
+            pltpu.VMEM((ns, BN), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(MsT, alphas, betas, logz_row)
+    )(MsT, betas, logz_row)
 
-    j_final = jnp.argmax(v_final, axis=0).astype(jnp.int32)   # [N]
-    batch_idx = jnp.arange(N)
+    j_final = jnp.argmax(v_final, axis=0).astype(jnp.int32)[None, :]
 
-    def back(j, k_t):
-        # k_t [ns, N]; pick k_t[j_n, n] per batch element
-        k = k_t[j, batch_idx]
-        prev = jnp.where(k == 0, j, (k - 1) * nsd + j // n_base)
-        return prev, k
-
-    _, labels = jax.lax.scan(back, j_final, ks, reverse=True)
+    BN, u_t = _pick_tiles(T, N, ns * 4 + 4, 4 * ns * 4,
+                          candidates=(16, 12, 8, 6, 4, 3, 2, 1))
+    nt_blocks = T // u_t
+    labels = pl.pallas_call(
+        functools.partial(_traceback_kernel, ns, nsd, n_base, u_t),
+        grid=(N // BN, nt_blocks),
+        in_specs=[
+            pl.BlockSpec((1, BN), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u_t, ns, BN),
+                         lambda b, t: (nt_blocks - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((u_t, BN),
+                               lambda b, t: (nt_blocks - 1 - t, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(j_final, ks)
     return labels.T.astype(jnp.int32)
 
 

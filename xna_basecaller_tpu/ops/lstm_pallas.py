@@ -39,35 +39,38 @@ def _auto_block_n(n: int, cap: int = 256) -> int:
     return n
 
 
-def _lstm_scan_kernel(xp_ref, whh_ref, y_ref, h_ref, c_ref):
-    """UNROLL timesteps: gates = xp_t + h @ W_hh; LSTM cell updates."""
-    t = pl.program_id(1)
+def _make_scan_kernel(unroll: int):
+    def kernel(xp_ref, whh_ref, y_ref, h_ref, c_ref):
+        """unroll timesteps: gates = xp_t + h @ W_hh; LSTM cell updates."""
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+        @pl.when(t == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
-    h = h_ref[:]
-    c = c_ref[:]
-    H = h.shape[1]
-    for u in range(UNROLL):
-        gates = xp_ref[u].astype(jnp.float32) + jnp.dot(
-            h.astype(whh_ref.dtype), whh_ref[:],
-            preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        c = f * c + i * g
-        h = (o * jnp.tanh(c)).astype(h_ref.dtype)
-        y_ref[u] = h.astype(y_ref.dtype)
-    h_ref[:] = h
-    c_ref[:] = c
+        h = h_ref[:]
+        c = c_ref[:]
+        H = h.shape[1]
+        for u in range(unroll):
+            gates = xp_ref[u].astype(jnp.float32) + jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = (o * jnp.tanh(c)).astype(h_ref.dtype)
+            y_ref[u] = h.astype(y_ref.dtype)
+        h_ref[:] = h
+        c_ref[:] = c
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("block_n",))
-def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None):
+@partial(jax.jit, static_argnames=("block_n", "unroll"))
+def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None,
+                           unroll: int = UNROLL):
     """xp [T, N, 4H] (input projections + bias), w_hh [H, 4H] ->
     hidden states [T, N, H].
 
@@ -76,7 +79,7 @@ def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None):
     t == 0 for each new batch tile)."""
     T, N, H4 = xp.shape
     H = H4 // 4
-    pad = (-T) % UNROLL
+    pad = (-T) % unroll
     if pad:
         xp = jnp.concatenate(
             [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
@@ -86,15 +89,15 @@ def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None):
     # cell state always (accuracy of the long recurrence).
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
     ys = pl.pallas_call(
-        _lstm_scan_kernel,
-        grid=(N // BN, Tp // UNROLL),
+        _make_scan_kernel(unroll),
+        grid=(N // BN, Tp // unroll),
         in_specs=[
-            pl.BlockSpec((UNROLL, BN, H4), lambda b, t: (t, b, 0),
+            pl.BlockSpec((unroll, BN, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((UNROLL, BN, H), lambda b, t: (t, b, 0),
+        out_specs=pl.BlockSpec((unroll, BN, H), lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N, H), xp.dtype),
         scratch_shapes=[
@@ -142,64 +145,72 @@ def quantize_w_hh(w_hh):
     return w_q, scale
 
 
-def _lstm_scan_kernel_int8(xp_ref, wq_ref, scale_ref, y_ref, h_ref, c_ref):
-    """UNROLL timesteps with the recurrent matmul in int8.
+def _make_int8_kernel(unroll: int):
+    def kernel(xp_ref, wq_ref, scale_ref, y_ref, h_ref, c_ref):
+        """unroll timesteps with the recurrent matmul in int8.
 
-    gates = xp_t + (h_q @ w_q) * (scale / 127), h_q = round(h * 127).
-    """
-    t = pl.program_id(1)
+        gates = xp_t + (h_q @ w_q) * (scale / 127), h_q = round(h * 127).
+        """
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+        @pl.when(t == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
-    h = h_ref[:].astype(jnp.float32)
-    c = c_ref[:]
-    H = h.shape[1]
-    deq = (scale_ref[:] * (1.0 / 127.0)).astype(jnp.float32)
-    for u in range(UNROLL):
-        h_q = jnp.clip(jnp.round(h * 127.0), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            h_q, wq_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        gates = xp_ref[u].astype(jnp.float32) + acc.astype(jnp.float32) * deq
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        y_ref[u] = h.astype(y_ref.dtype)
-    h_ref[:] = h.astype(h_ref.dtype)
-    c_ref[:] = c
+        h = h_ref[:].astype(jnp.float32)
+        c = c_ref[:]
+        H = h.shape[1]
+        deq = (scale_ref[:] * (1.0 / 127.0)).astype(jnp.float32)
+        for u in range(unroll):
+            h_q = jnp.clip(jnp.round(h * 127.0), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                h_q, wq_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            gates = (xp_ref[u].astype(jnp.float32)
+                     + acc.astype(jnp.float32) * deq)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            y_ref[u] = h.astype(y_ref.dtype)
+        h_ref[:] = h.astype(h_ref.dtype)
+        c_ref[:] = c
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("block_n",))
-def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None):
+@partial(jax.jit, static_argnames=("block_n", "unroll"))
+def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None,
+                                unroll: int = UNROLL):
     """xp [T, N, 4H] f32/bf16, w_q int8 [H, 4H], scale f32 [4H] ->
     hidden states [T, N, H] (xp dtype)."""
     T, N, H4 = xp.shape
     H = H4 // 4
-    pad = (-T) % UNROLL
+    pad = (-T) % unroll
     if pad:
         xp = jnp.concatenate(
             [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
     Tp = T + pad
-    BN = block_n or _auto_block_n(N)
+    # BN=256 with bf16 xp double-buffering overflows the 16MB scoped VMEM
+    # budget once the f32 dequant scales join the residency set; 128 was
+    # also measured faster per layer (grid pipelining hides the smaller
+    # matmul's lower MXU occupancy).
+    BN = block_n or _auto_block_n(N, cap=128)
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
     ys = pl.pallas_call(
-        _lstm_scan_kernel_int8,
-        grid=(N // BN, Tp // UNROLL),
+        _make_int8_kernel(unroll),
+        grid=(N // BN, Tp // unroll),
         in_specs=[
-            pl.BlockSpec((UNROLL, BN, H4), lambda b, t: (t, b, 0),
+            pl.BlockSpec((unroll, BN, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H4,), lambda b, t: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((UNROLL, BN, H), lambda b, t: (t, b, 0),
+        out_specs=pl.BlockSpec((unroll, BN, H), lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N, H), xp.dtype),
         scratch_shapes=[
