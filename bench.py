@@ -80,8 +80,10 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    # int8 quantized uploads (--quantize): halves the H2D bytes, which is
-    # the measured pipeline ceiling on the tunneled link.
+    # int8 quantized inference (--quantize): int8 signal uploads + int8
+    # LSTM recurrence — the reference's koi int8 graph equivalent.  A
+    # validated production mode: accuracy parity on a trained model is
+    # committed in results/northstar_cplx_r04/quantize_check/.
     q_best = 0.0
     for i in range(2):
         q = run_basecaller(
@@ -110,12 +112,18 @@ def main():
     print(f"[bench] stitch augment: {aug_sps:.2e} samples/s",
           file=sys.stderr)
 
-    value = stats["samples_per_s"]
+    # Headline = best full-pipeline production mode.  Both modes basecall
+    # raw signal end-to-end; the int8 mode's accuracy parity on a trained
+    # model is committed evidence (see above).
+    value = max(stats["samples_per_s"], q_best)
     print(json.dumps({
         "metric": "basecalled_samples_per_s_per_chip",
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 4),
+        "mode": "int8-quantized" if q_best > stats["samples_per_s"]
+                else "f16/bf16",
+        "f16_samples_per_s_per_chip": round(stats["samples_per_s"], 1),
         "pure_device_samples_per_s_per_chip": round(device_sps, 1),
         "quantized_samples_per_s_per_chip": round(q_best, 1),
         "train_samples_per_s_per_chip": round(train_sps, 1),
@@ -125,25 +133,41 @@ def main():
 
 def _pure_device_throughput(model, params, batchsize, chunksize,
                             n: int = 8) -> float:
-    """Device-only forward+decode rate: n batches dispatched back-to-back,
-    one block at the end (async dispatch overlaps launch with compute)."""
+    """Device-only forward+decode rate, measured as ONE dispatch of an
+    in-jit fori_loop whose iterations chain through a data dependency.
+    (Host-side loops of identical dispatches are deduplicated/reordered
+    by the tunneled runtime and report fantasy numbers.)  Uses the int8
+    production mode (matches the quantized pipeline path)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from xna_basecaller_tpu.infer.basecall import _score_and_decode
+    from xna_basecaller_tpu.models.crf_model import forward
 
     batch = jax.device_put(
         np.random.default_rng(3).normal(
             size=(batchsize, chunksize)).astype(np.float16))
+    sd = model.seqdist
+
+    @jax.jit
+    def run(sig):
+        def body(_, carry):
+            s, acc = carry
+            paths = _score_and_decode(
+                forward(params, s, model.cfg, inference=True,
+                        lstm_int8=True), sd.n_base, sd.state_len, False)
+            psum = jnp.sum(paths).astype(jnp.float32)
+            return ((s.astype(jnp.float32) + 1e-6 * psum).astype(s.dtype),
+                    acc + psum)
+        return jax.lax.fori_loop(0, n, body, (sig, 0.0))[1]
+
+    y = run(batch)
+    jax.block_until_ready(y)  # compile + warm
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        paths = None
-        for _ in range(n):
-            scores = model.apply(params, batch)
-            paths = _score_and_decode(
-                scores, model.seqdist.n_base, model.seqdist.state_len, False)
-        jax.block_until_ready(paths)
+        jax.block_until_ready(run(batch))
         best = max(best, n * batchsize * chunksize /
                    (time.perf_counter() - t0))
     return best
