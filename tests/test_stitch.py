@@ -248,3 +248,40 @@ def test_small_pad_rejected(xna_dir, dna_batch):
             jnp.asarray(lens), jnp.asarray(bkps),
             jnp.asarray(tables.signals), jnp.asarray(tables.lens),
             jnp.asarray(tables.counts), pad=3)
+
+
+def test_simulator_structural_families_moment_matched():
+    """The jitter structural families (lognormal dwell, laplace/triangular
+    event noise) are moment-matched to the normal/uniform defaults, and
+    jitter_regime never draws the held-out (gamma, gauss) pair."""
+    import numpy as np
+
+    from xna_basecaller_tpu.data.simulate import (
+        _JITTER_FAMILIES, jitter_regime, load_pore_model, random_sequence,
+        simulate_squiggle,
+    )
+
+    assert ("gamma", "gauss") not in _JITTER_FAMILIES
+
+    pore = load_pore_model()
+    rng = np.random.default_rng(0)
+    codes = random_sequence(rng, 400)
+    base = dict(samples_per_base=9.0, dwell_std=2.0, noise_std=0.0)
+    for dwell in ("normal", "lognormal", "gamma"):
+        sig, bk = simulate_squiggle(codes, pore, rng, dwell_dist=dwell,
+                                    **base)
+        reps = np.diff(np.concatenate([[0], bk.astype(int)]))
+        assert abs(reps.mean() - 9.0) < 0.6, (dwell, reps.mean())
+        assert abs(reps.std() - 2.0) < 0.7, (dwell, reps.std())
+    for noise in ("uniform", "gauss", "laplace", "triangular"):
+        sig, _ = simulate_squiggle(codes, pore, rng, event_noise=noise,
+                                   **base)
+        assert np.isfinite(sig).all()
+
+    fams = {(jitter_regime(base | {"dwell_dist": "normal",
+                                   "event_noise": "uniform"}, rng)
+             ["dwell_dist"],
+             jitter_regime(base | {"dwell_dist": "normal",
+                                   "event_noise": "uniform"}, rng)
+             ["event_noise"]) for _ in range(60)}
+    assert all(f[0] != "gamma" for f in fams)

@@ -81,6 +81,11 @@ def simulate_squiggle(seq_codes: np.ndarray, pore: PoreModel, rng,
         shape = (samples_per_base / dwell_std) ** 2
         scale = dwell_std ** 2 / samples_per_base
         draws = rng.gamma(shape, scale, L)
+    elif dwell_dist == "lognormal":
+        # mean samples_per_base, std dwell_std (moment-matched)
+        s2 = np.log1p((dwell_std / samples_per_base) ** 2)
+        mu = np.log(samples_per_base) - s2 / 2
+        draws = rng.lognormal(mu, np.sqrt(s2), L)
     else:
         draws = rng.normal(samples_per_base, dwell_std, L)
     reps = np.maximum(1, draws.round().astype(int))
@@ -88,6 +93,14 @@ def simulate_squiggle(seq_codes: np.ndarray, pore: PoreModel, rng,
     event_stds = np.repeat(stds[:L], reps)
     if event_noise == "gauss":
         raw = event_means + rng.normal(0, 1, event_means.shape) * event_stds
+    elif event_noise == "laplace":
+        # matched variance: Laplace(b) has std b*sqrt(2)
+        raw = event_means + rng.laplace(
+            0, 1 / np.sqrt(2), event_means.shape) * event_stds
+    elif event_noise == "triangular":
+        # matched variance: tri(-sqrt(6), 0, sqrt(6)) has unit std
+        raw = event_means + rng.triangular(
+            -np.sqrt(6), 0, np.sqrt(6), event_means.shape) * event_stds
     else:
         raw = event_means + rng.uniform(-event_stds, event_stds)
     if noise_std > 0:
@@ -120,16 +133,31 @@ def simulate_reads(n_reads: int, mean_len: int = 20000, seed: int = 0,
             sequence=decode(codes, BASES, drop_blank=False))
 
 
+# Structural (dwell distribution, event noise) families sampled by
+# jitter_regime.  The held-out regime's (gamma, gauss) pair is EXCLUDED —
+# training sees structural *variety*, never the evaluation family itself,
+# so held-out numbers stay out-of-distribution.
+_JITTER_FAMILIES = [
+    ("normal", "uniform"),
+    ("normal", "laplace"),
+    ("lognormal", "uniform"),
+    ("lognormal", "triangular"),
+]
+
+
 def jitter_regime(kw: dict, rng) -> dict:
     """Domain-randomise a signal regime (±15% rate, ±40% dwell/noise
-    spread) — used for *training*-side reads only so the spliced model
-    generalises beyond one fixed simulator setting; held-out eval regimes
-    stay untouched."""
+    spread, plus a structural dwell/noise family draw) — used for
+    *training*-side reads only so the spliced model generalises beyond
+    one fixed simulator setting; held-out eval regimes stay untouched."""
+    dwell_dist, event_noise = _JITTER_FAMILIES[
+        int(rng.integers(len(_JITTER_FAMILIES)))]
     return dict(
         kw,
         samples_per_base=kw["samples_per_base"] * float(rng.uniform(0.85, 1.15)),
         dwell_std=kw["dwell_std"] * float(rng.uniform(0.7, 1.4)),
-        noise_std=kw["noise_std"] * float(rng.uniform(0.7, 1.4)))
+        noise_std=kw["noise_std"] * float(rng.uniform(0.7, 1.4)),
+        dwell_dist=dwell_dist, event_noise=event_noise)
 
 
 def sim_library_reads(refs, rng, n_reads: int, with_ubs: bool,
