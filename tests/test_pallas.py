@@ -370,3 +370,16 @@ def test_full_model_forward_int8_lstm_close_to_f32():
     # scores live in [-5, 5] (tanh x scale)
     assert diff.mean() < 0.05, diff.mean()
     assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)
+
+
+@pytest.mark.parametrize("N", [3, 8, 96, 160])
+def test_decode_paths_batch_tiling_shapes(N):
+    """The decode kernels' (batch-tile, time) grid handles batch sizes
+    that are not multiples of 128 (tile fallback = largest divisor)."""
+    n_base, state_len, T = 6, 3, 12
+    C = (n_base + 1) * n_base ** state_len
+    s = jax.random.normal(jax.random.key(7), (T, N, C), jnp.float32)
+    p_pal = crf_pallas.decode_paths_pallas(s, n_base, state_len,
+                                           interpret=True)
+    p_ref = crf.decode_paths(s, n_base, state_len)
+    np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_ref))
