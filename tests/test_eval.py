@@ -175,6 +175,14 @@ def test_analyze_paf_end_to_end(tmp_path, poc):
     assert summary["false_pos"] == 0 and summary["false_neg"] == 0
     assert (tmp_path / "results_summ.csv").exists()
     assert (tmp_path / "results_summ-by_tar.csv").exists()
+    # Wilson CI brackets the point estimate and is a plain float pair
+    assert isinstance(summary["ub_acc_ci_lo"], float)
+    assert summary["ub_acc_ci_lo"] <= summary["ub_acc"] + 1e-9
+    assert summary["ub_acc_ci_hi"] >= summary["ub_acc"] - 1e-9
+    # p_hat = 1 at small n: the Wilson lower bound must still be
+    # meaningfully below 100 (the whole point of reporting it)
+    assert summary["ub_acc_ci_lo"] < 99.0
+    assert summary["ub_acc_ci_hi"] <= 100.0
 
 
 def test_analyze_paf_detects_corrupted_ubs(poc):

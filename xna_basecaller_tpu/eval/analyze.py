@@ -304,6 +304,20 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
         / (beta ** 2 * precision + recall)
         if precision + recall > 0 else 0.0)
     summary.update(true_pos=tp, false_neg=fn, false_pos=fp, true_neg=tn)
+    # Wilson 95% CI on ub_acc: each aligned XNA read contributes one
+    # Bernoulli observation per UB site (n = tp + fn sites), so the
+    # interval tells whether the point estimate is statistically
+    # distinguishable from a target band at this eval size.
+    n_sites = tp + fn
+    if n_sites and np.isfinite(summary["ub_acc"]):
+        p_hat = summary["ub_acc"] / 100.0
+        z = 1.959964
+        denom = 1 + z * z / n_sites
+        center = (p_hat + z * z / (2 * n_sites)) / denom
+        half = (z * np.sqrt(p_hat * (1 - p_hat) / n_sites
+                            + z * z / (4 * n_sites * n_sites))) / denom
+        summary["ub_acc_ci_lo"] = float(100 * max(0.0, center - half))
+        summary["ub_acc_ci_hi"] = float(100 * min(1.0, center + half))
     if read_quals is not None:
         summary["mean_q_score"] = float(paf_df["mean_q_score"].mean())
 
