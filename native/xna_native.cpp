@@ -685,4 +685,209 @@ int poa_consensus(const char* seqs, const int* lens, int n_seqs,
     return (int)cons.size();
 }
 
+// Global Needleman-Wunsch with linear gap cost and full traceback,
+// emitting aligned index-pair columns in the reference duplex envelope's
+// form (cli/duplex.py:143-148: cumsum-of-consumed-chars minus one, so a
+// gap column repeats the previous index; -1 before the first char).
+// The reference calls parasail nw_trace_striped_32(open=2, extend=2,
+// dnafull); with open == extend the affine cost degenerates to a linear
+// 2/base gap, so a linear-gap DP reproduces that scoring exactly.
+// Returns the number of columns written, or -1 if (na+1)*(nb+1) cells
+// exceed max_cells (caller falls back / shrinks).
+int nw_trace(const char* a, int na, const char* b, int nb,
+             int match, int mismatch, int gap,
+             int32_t* pairs_out, int max_cols, long long max_cells) {
+    const long long cells = (long long)(na + 1) * (nb + 1);
+    if (cells > max_cells || na + nb > max_cols) return -1;
+    std::vector<int32_t> prev(nb + 1), cur(nb + 1);
+    std::vector<uint8_t> tb((size_t)cells);  // 0=diag 1=up(a-gap? no: consume a) 2=left
+    for (int j = 0; j <= nb; ++j) {
+        prev[j] = -gap * j;
+        tb[j] = 2;
+    }
+    for (int i = 1; i <= na; ++i) {
+        cur[0] = -gap * i;
+        uint8_t* tbr = tb.data() + (size_t)i * (nb + 1);
+        tbr[0] = 1;
+        const char ai = a[i - 1];
+        for (int j = 1; j <= nb; ++j) {
+            const int diag = prev[j - 1] + sub_score(ai, b[j - 1]);
+            const int up = prev[j] - gap;     // consume a[i-1], gap in b
+            const int left = cur[j - 1] - gap;  // consume b[j-1], gap in a
+            int best = diag;
+            uint8_t mv = 0;
+            if (up > best) { best = up; mv = 1; }
+            if (left > best) { best = left; mv = 2; }
+            cur[j] = best;
+            tbr[j] = mv;
+        }
+        std::swap(prev, cur);
+    }
+    // traceback from (na, nb): collect moves in reverse, then replay
+    // forward emitting consumed-count-minus-one index pairs
+    std::vector<uint8_t> moves;
+    moves.reserve(na + nb);
+    int i = na, j = nb;
+    while (i > 0 || j > 0) {
+        const uint8_t mv = tb[(size_t)i * (nb + 1) + j];
+        moves.push_back(mv);
+        if (mv == 0) { --i; --j; }
+        else if (mv == 1) { --i; }
+        else { --j; }
+    }
+    const int n_cols = (int)moves.size();
+    int ca = 0, cb = 0;
+    for (int k = 0; k < n_cols; ++k) {
+        const uint8_t mv = moves[n_cols - 1 - k];
+        if (mv == 0) { ++ca; ++cb; }
+        else if (mv == 1) { ++ca; }
+        else { ++cb; }
+        pairs_out[2 * k] = ca - 1;
+        pairs_out[2 * k + 1] = cb - 1;
+    }
+    return n_cols;
+}
+
+// Envelope-banded exact pair Viterbi over two CRF transition-posterior
+// tensors (the TPU-native replacement for fast-ctc-decode's
+// crf_beam_search_duplex, reference cli/duplex.py:257-268).  Rather than
+// an approximate beam, this is the exact joint decode: find the single
+// base sequence S maximising
+//   log P1(label path emitting S | strand1) + log P2(... | strand2)
+// by DP over cells (i frames of strand1 consumed, j frames of strand2
+// consumed, CRF state s), with j confined to the alignment envelope of
+// strand1 frame i.  Moves: blank in strand1 (i-1,j,s); blank in strand2
+// (i,j-1,s); synchronised emission of base b = s % nb from old state
+// o = d*(ns/nb) + s/nb (both strands emit b, scores multiplied).
+//
+// logt* are [T][ns][nb+1] natural-log transition posteriors in the
+// (old_state, {stay, emit b}) layout of compute_transition_probs
+// (crf/model.py:63-76); logi* are [ns] log initial-state posteriors.
+// env is [T1][2] inclusive-lo / exclusive-hi strand2 windows per strand1
+// frame (build_envelope, cli/duplex.py:138-181).  Returns the emitted
+// length (seq codes 1..nb into seq_out, strand1 emission frames into
+// frames_out) or -1 when the DP would exceed max_cells.
+int pair_viterbi(const float* logt1, const float* logi1, int T1,
+                 const float* logt2, const float* logi2, int T2,
+                 const int32_t* env, int ns, int nb,
+                 int32_t* seq_out, int32_t* frames_out, int max_out,
+                 long long max_cells) {
+    const int nk = nb + 1;
+    const int nsd = ns / nb;
+    const double NEGINF = -1e30;
+    // per-row windows [lo_i, hi_i] inclusive over j in 0..T2
+    std::vector<int> lo(T1 + 1), hi(T1 + 1);
+    lo[0] = 0;
+    hi[0] = env ? std::min<int>(env[1], T2) : T2;
+    for (int i = 1; i <= T1; ++i) {
+        lo[i] = env ? std::max(0, env[2 * (i - 1)]) : 0;
+        hi[i] = env ? std::min<int>(env[2 * (i - 1) + 1], T2) : T2;
+        if (lo[i] > hi[i]) lo[i] = hi[i];
+    }
+    hi[T1] = T2;  // full consumption of strand2
+    if (lo[T1] > T2) lo[T1] = T2;
+    int wmax = 0;
+    for (int i = 0; i <= T1; ++i) wmax = std::max(wmax, hi[i] - lo[i] + 1);
+    const long long cells = (long long)(T1 + 1) * wmax * ns;
+    if (cells > max_cells) return -1;
+
+    std::vector<double> dp_prev((size_t)wmax * ns, NEGINF);
+    std::vector<double> dp_cur((size_t)wmax * ns, NEGINF);
+    std::vector<uint8_t> tb((size_t)(T1 + 1) * wmax * ns);
+
+    // row 0: strand2 blanks only
+    for (int j = lo[0]; j <= hi[0]; ++j) {
+        double* cell = dp_prev.data() + (size_t)(j - lo[0]) * ns;
+        uint8_t* tc = tb.data() + (size_t)(j - lo[0]) * ns;
+        if (j == 0) {
+            for (int s = 0; s < ns; ++s) cell[s] = logi1[s] + logi2[s];
+        } else {
+            const double* pc = dp_prev.data() + (size_t)(j - 1 - lo[0]) * ns;
+            const float* t2 = logt2 + (size_t)(j - 1) * ns * nk;
+            for (int s = 0; s < ns; ++s) {
+                cell[s] = pc[s] + t2[(size_t)s * nk];
+                tc[s] = 1;
+            }
+        }
+    }
+
+    for (int i = 1; i <= T1; ++i) {
+        std::fill(dp_cur.begin(), dp_cur.end(), NEGINF);
+        const float* t1 = logt1 + (size_t)(i - 1) * ns * nk;
+        uint8_t* tbrow = tb.data() + (size_t)i * wmax * ns;
+        for (int j = lo[i]; j <= hi[i]; ++j) {
+            double* cell = dp_cur.data() + (size_t)(j - lo[i]) * ns;
+            uint8_t* tc = tbrow + (size_t)(j - lo[i]) * ns;
+            const bool in_prev = j >= lo[i - 1] && j <= hi[i - 1];
+            const double* up = in_prev
+                ? dp_prev.data() + (size_t)(j - lo[i - 1]) * ns : nullptr;
+            const bool in_prev_d = j - 1 >= lo[i - 1] && j - 1 <= hi[i - 1];
+            const double* dg = in_prev_d
+                ? dp_prev.data() + (size_t)(j - 1 - lo[i - 1]) * ns : nullptr;
+            const bool in_cur_l = j - 1 >= lo[i];
+            const double* lf = in_cur_l
+                ? dp_cur.data() + (size_t)(j - 1 - lo[i]) * ns : nullptr;
+            const float* t2 = j >= 1
+                ? logt2 + (size_t)(j - 1) * ns * nk : nullptr;
+            for (int s = 0; s < ns; ++s) {
+                double best = NEGINF;
+                uint8_t mv = 255;
+                if (up) {  // blank in strand1
+                    best = up[s] + t1[(size_t)s * nk];
+                    mv = 0;
+                }
+                if (lf && t2) {  // blank in strand2
+                    const double v = lf[s] + t2[(size_t)s * nk];
+                    if (v > best) { best = v; mv = 1; }
+                }
+                if (dg && t2) {  // synchronised emission
+                    const int b = s % nb;
+                    const int base_o = s / nb;
+                    for (int d = 0; d < nb; ++d) {
+                        const int o = d * nsd + base_o;
+                        const double v = dg[o]
+                            + t1[(size_t)o * nk + 1 + b]
+                            + t2[(size_t)o * nk + 1 + b];
+                        if (v > best) { best = v; mv = (uint8_t)(2 + d); }
+                    }
+                }
+                cell[s] = best;
+                tc[s] = mv;
+            }
+        }
+        std::swap(dp_prev, dp_cur);
+    }
+
+    // best final state at (T1, T2)
+    const double* fin = dp_prev.data() + (size_t)(T2 - lo[T1]) * ns;
+    int s = 0;
+    for (int k = 1; k < ns; ++k) if (fin[k] > fin[s]) s = k;
+    if (fin[s] <= NEGINF / 2) return 0;
+
+    // traceback
+    std::vector<int32_t> codes, frames;
+    int i = T1, j = T2;
+    while (i > 0 || j > 0) {
+        const uint8_t mv =
+            tb[(size_t)i * wmax * ns + (size_t)(j - lo[i]) * ns + s];
+        if (mv == 0) { --i; }
+        else if (mv == 1) { --j; }
+        else if (mv == 255) { break; }  // start cell (row-0 j==0)
+        else {
+            const int b = s % nb;
+            codes.push_back(b + 1);
+            frames.push_back(i - 1);
+            s = (mv - 2) * nsd + s / nb;
+            --i; --j;
+        }
+    }
+    const int n = (int)codes.size();
+    if (n > max_out) return -1;
+    for (int k = 0; k < n; ++k) {
+        seq_out[k] = codes[n - 1 - k];
+        frames_out[k] = frames[n - 1 - k];
+    }
+    return n;
+}
+
 }  // extern "C"

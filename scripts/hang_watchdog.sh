@@ -1,10 +1,18 @@
 #!/bin/bash
-# Detect a job hung on a dead TPU tunnel and kick it only when the tunnel
-# is back: if the job's log hasn't grown for STALE_S seconds AND a tiny
-# device probe succeeds, kill the exact job PID (its supervisor relaunch
-# loop resumes the chain from completed artifacts). While the tunnel is
-# down the probe fails and we just wait — killing would only create a new
-# process that hangs at backend init.
+# Detect a job hung on a dead TPU tunnel WITHOUT ever touching the
+# device: the tunnel admits one client at a time, and a concurrent
+# "health probe" process can reset the relay under the job's feet
+# (observed as SIGSEGV mid-run).  Instead, a wedged client is identified
+# by what it IS: hung on a futex burning zero CPU.  A healthy job that
+# merely logs rarely (long device phases) keeps accumulating CPU time
+# and is left alone no matter how stale its log is.
+#
+# Kill condition: log stale >= STALE_S  AND  the job's cumulative CPU
+# time advanced < 2 jiffies over a 60 s window.  The exact PID is
+# killed; the supervisor relaunch loop resumes the chain from completed
+# artifacts.  If the tunnel is still down, the relaunched process hangs
+# at backend init with zero CPU and is killed again harmlessly until
+# the tunnel returns.
 #
 # usage: hang_watchdog.sh <logfile> <pid | parent:SUPERVISOR_PID> [stale_s]
 #
@@ -24,6 +32,10 @@ resolve_pid() {
   esac
 }
 
+cpu_jiffies() {  # utime+stime of the whole process (all threads)
+  awk '{print $14 + $15}' "/proc/$1/stat" 2>/dev/null || echo ""
+}
+
 while :; do
   JOB_PID=$(resolve_pid)
   if [ -z "$JOB_PID" ] || ! kill -0 "$JOB_PID" 2>/dev/null; then
@@ -41,20 +53,24 @@ while :; do
   if [ $((now - mt)) -lt "$STALE_S" ]; then
     continue
   fi
-  echo "$(date -Is) log stale $((now - mt))s; probing tunnel" >&2
-  if timeout 90 python -c "
-import jax, jax.numpy as jnp
-jax.devices()
-print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))" >/dev/null 2>&1; then
-    echo "$(date -Is) tunnel healthy but job stale -> killing $JOB_PID" >&2
-    kill "$JOB_PID" 2>/dev/null
-    sleep 10
-    kill -9 "$JOB_PID" 2>/dev/null
-    case "$TARGET" in
-      parent:*) continue ;;
-      *) exit 0 ;;
-    esac
-  else
-    echo "$(date -Is) tunnel down; waiting" >&2
+  c0=$(cpu_jiffies "$JOB_PID")
+  sleep 60
+  c1=$(cpu_jiffies "$JOB_PID")
+  if [ -z "$c0" ] || [ -z "$c1" ]; then
+    continue  # process went away between samples; next cycle resolves
   fi
+  if [ $((c1 - c0)) -ge 2 ]; then
+    echo "$(date -Is) log stale $((now - mt))s but job busy" \
+         "(+$((c1 - c0)) jiffies); leaving it alone" >&2
+    continue
+  fi
+  echo "$(date -Is) log stale $((now - mt))s and job idle" \
+       "(+$((c1 - c0)) jiffies) -> killing $JOB_PID" >&2
+  kill "$JOB_PID" 2>/dev/null
+  sleep 10
+  kill -9 "$JOB_PID" 2>/dev/null
+  case "$TARGET" in
+    parent:*) continue ;;
+    *) exit 0 ;;
+  esac
 done

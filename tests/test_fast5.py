@@ -146,3 +146,38 @@ def test_basecaller_cli_over_fast5_dir(fast5_dir, tmp_path, capsys):
     assert summary.exists()
     header = summary.read_text().splitlines()[0].split("\t")
     assert "read_id" in header
+
+
+def test_basecaller_cli_cram_output(fast5_dir, tmp_path, capsys):
+    """--cram writes a CRAM 3.0 container whose records round-trip."""
+    import jax
+
+    from xna_basecaller_tpu.cli import main as cli_main
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.data.cram import EOF_BYTES, read_cram
+    from xna_basecaller_tpu.models.crf_model import Model
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    config_lib.save(cfg, str(mdir))
+    ckpt.save_checkpoint(str(mdir), 1, params)
+
+    cram_path = tmp_path / "out.cram"
+    cli_main(["basecaller", str(mdir), str(fast5_dir),
+              "--chunksize", "2000", "--overlap", "200",
+              "--batchsize", "4", "--cram", str(cram_path)])
+    assert capsys.readouterr().out == ""  # CRAM mode: no FASTQ on stdout
+    buf = cram_path.read_bytes()
+    assert buf[:6] == b"CRAM\x03\x00" and buf.endswith(EOF_BYTES)
+    header, records = read_cram(str(cram_path))
+    assert "@RG\tID:model" in header
+    got = {r["read_id"]: r for r in records}
+    assert {"aaa", "bbb", "ccc"} <= set(got)
+    for r in got.values():
+        assert len(r["seq"]) > 0 and len(r["qstring"]) == len(r["seq"])
+        assert any(t.startswith("RG:Z:") for t in r["tags"])

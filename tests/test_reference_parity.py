@@ -87,6 +87,39 @@ def _sparse_logZ(Ms, idx, alpha_0, beta_T, S):
     return S.sum(alpha + beta_T, 1)
 
 
+def _sparse_fwd_scores(Ms, idx, alpha_0, S, K=1):
+    """seqdist.sparse.fwd_scores contract: all forward partials
+    [T+1, N, n_state] (invoked at crf/model.py:51-55)."""
+    T = Ms.shape[0]
+    idxl = idx.long()
+    alphas = [alpha_0]
+    alpha = alpha_0
+    for t in range(T):
+        alpha = S.sum(alpha[:, idxl] + Ms[t], 2)
+        alphas.append(alpha)
+    return torch.stack(alphas)
+
+
+def _sparse_bwd_scores(Ms, idx, beta_T, S, K=1):
+    """seqdist.sparse.bwd_scores contract: all backward partials
+    [T+1, N, n_state] (invoked at crf/model.py:57-61).
+
+    idx[s, k] is the predecessor of transition k into state s; the de
+    Bruijn structure is regular (each state also has exactly idx.shape[1]
+    outgoing transitions), so a stable argsort of idx groups the flat
+    (s, k) contributions by predecessor into equal-size rows."""
+    T, N, ns, nk = Ms.shape
+    order = torch.argsort(idx.long().flatten(), stable=True)
+    inv = order.view(ns, nk)
+    betas = [beta_T]
+    beta = beta_T
+    for t in range(T - 1, -1, -1):
+        contrib = (Ms[t] + beta[:, :, None]).reshape(N, ns * nk)
+        beta = S.sum(contrib[:, inv], 2)
+        betas.append(beta)
+    return torch.stack(betas[::-1])
+
+
 def _ctc_logZ(stay, move, lengths, S=_Log):
     """seqdist.ctc_simple.logZ contract: stay/move alignment lattice.
     stay [T, N, n], move [T, N, n-1]; paths start at position 0 and must
@@ -124,8 +157,8 @@ def _install_reference_modules():
     core.semiring = object
     sparse = types.ModuleType("seqdist.sparse")
     sparse.logZ = _sparse_logZ
-    sparse.fwd_scores_cupy = None
-    sparse.bwd_scores_cupy = None
+    sparse.fwd_scores_cupy = _sparse_fwd_scores
+    sparse.bwd_scores_cupy = _sparse_bwd_scores
     ctc_simple = types.ModuleType("seqdist.ctc_simple")
     ctc_simple.logZ_cupy = _ctc_logZ
     ctc_simple.viterbi_alignments = None
@@ -221,6 +254,47 @@ def _dists(ref, alphabet="NACGT", state_len=2):
 def _scores(rdist, T=10, N=3, seed=0):
     g = torch.Generator().manual_seed(seed)
     return torch.randn(T, N, rdist.n_score(), generator=g)
+
+
+@pytest.mark.parametrize("alphabet,state_len", [("NACGT", 2), ("NACGTXY", 3)])
+def test_fwd_bwd_scores_parity(ref, alphabet, state_len):
+    """forward_scores / backward_scores (crf/model.py:51-61) vs ours.
+
+    Also self-validates the sparse bwd stub: logZ recovered from beta_0
+    must match CTC_CRF.logZ."""
+    rdist, jdist = _dists(ref, alphabet, state_len)
+    scores = _scores(rdist, T=9, N=2, seed=5)
+    want_a = rdist.forward_scores(scores).numpy()
+    want_b = rdist.backward_scores(scores).numpy()
+    np.testing.assert_allclose(
+        torch.logsumexp(rdist.backward_scores(scores)[0], 1).numpy(),
+        rdist.logZ(scores).numpy(), rtol=1e-5)
+    j = jnp.asarray(scores.numpy())
+    got_a = np.asarray(crf_ops.forward_scores(
+        j, rdist.n_base, rdist.state_len))
+    got_b = np.asarray(crf_ops.backward_scores(
+        j, rdist.n_base, rdist.state_len))
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("alphabet,state_len", [("NACGT", 2), ("NACGTXY", 3)])
+def test_compute_transition_probs_parity(ref, alphabet, state_len):
+    """compute_transition_probs (crf/model.py:63-76), the duplex pair
+    decode's score form (cli/duplex.py:219-228), reference vs ours."""
+    rdist, jdist = _dists(ref, alphabet, state_len)
+    scores = _scores(rdist, T=9, N=2, seed=6)
+    betas = rdist.backward_scores(scores)
+    want_t, want_i = rdist.compute_transition_probs(scores, betas)
+    got_t, got_i = crf_ops.compute_transition_probs(
+        jnp.asarray(scores.numpy()), rdist.n_base, rdist.state_len)
+    T, N = scores.shape[:2]
+    assert got_t.shape == (T, N, rdist.n_base ** rdist.state_len,
+                           rdist.n_base + 1)
+    np.testing.assert_allclose(np.asarray(got_t).reshape(want_t.shape),
+                               want_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_i), want_i.numpy(),
+                               rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("alphabet,state_len", [("NACGT", 2), ("NACGTXY", 3)])

@@ -85,6 +85,10 @@ def main(args):
             sys.exit("--bam requires --reference")
         from xna_basecaller_tpu.data.bam import BamWriter
         bam = BamWriter(args.bam, targets, read_group=read_group)
+    cram_w = None
+    if args.cram is not None:
+        from xna_basecaller_tpu.data.cram import CramWriter
+        cram_w = CramWriter(args.cram, targets, read_group=read_group)
 
     mods_model = None
     if args.mods_model:
@@ -153,10 +157,13 @@ def main(args):
                 if bam is not None:
                     bam.write(read.read_id, seq, qstring, mapping,
                               tags=mods_tags)
+                if cram_w is not None:
+                    cram_w.write(read.read_id, seq, qstring, mapping,
+                                 tags=mods_tags)
                 if sam is not None:
                     sam.write(read.read_id, seq, qstring, mapping,
                               tags=mods_tags)
-                elif bam is None:
+                elif bam is None and cram_w is None:
                     write_fastq(sys.stdout, read.read_id, seq, qstring,
                                 tags=mods_tags)
             if summary_fh is not None:
@@ -173,6 +180,8 @@ def main(args):
             sys.stderr.write(f"> profile trace: {args.profile}\n")
         if bam is not None:
             bam.close()
+        if cram_w is not None:
+            cram_w.close()
         if ctc_writer is not None:
             ctc_writer.save()
         sys.stderr.write(f"> completed reads: {n_reads}\n")
@@ -196,6 +205,10 @@ def argparser():
                         help="reference fasta for alignment")
     parser.add_argument("--sam", action="store_true",
                         help="emit SAM instead of FASTQ (needs --reference)")
+    parser.add_argument("--cram", default=None, metavar="PATH",
+                        help="write basecalls as a CRAM 3.0 container "
+                             "(unmapped records; the reference's pysam "
+                             "'wc' mode, io.py:391-401)")
     parser.add_argument("--bam", default=None, metavar="PATH",
                         help="also write binary BAM to PATH "
                              "(needs --reference)")

@@ -62,7 +62,8 @@ def main(args):
             chunksize=cfg.basecaller.chunksize,
             overlap=cfg.basecaller.overlap,
             batchsize=cfg.basecaller.batchsize,
-            min_indel_q=args.min_indel_q):
+            min_indel_q=args.min_indel_q,
+            pair_decode=args.pair_decode):
         write_fastq(sys.stdout, dup.read_id, dup.sequence, dup.qstring,
                     tags=[f"dx:i:1", f"tp:Z:{dup.template_id}",
                           f"cp:Z:{dup.complement_id}"])
@@ -92,4 +93,9 @@ def argparser():
     parser.add_argument("--min-length", type=int, default=100)
     parser.add_argument("--min-indel-q", type=int, default=15,
                         help="quality floor for single-strand indels")
+    parser.add_argument("--pair-decode", action="store_true",
+                        help="envelope-constrained exact pair Viterbi over "
+                             "both strands' CRF transition posteriors "
+                             "(reference duplex.py:257-297 algorithm); "
+                             "falls back to the consensus merge per pair")
     return parser

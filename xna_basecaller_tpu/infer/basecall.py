@@ -257,9 +257,14 @@ def _left_pack(paths: np.ndarray) -> np.ndarray:
 def run_basecaller(model, params, reads, fastq_out, summary_out=None,
                    chunksize: int = 3600, overlap: int = 500,
                    batchsize: int = 256, reverse: bool = False,
-                   quantize: bool = False, beam_width: int = 0) -> dict:
+                   quantize: bool = False, beam_width: int = 0,
+                   **basecall_opts) -> dict:
     """Drive the full pipeline, writing FASTQ (+ summary); returns timing
     stats incl. the headline samples/s (reference cli/basecaller.py:153-161).
+
+    Extra keyword options (e.g. ``legacy_char_stitch``, ``compute_dtype``)
+    are forwarded to :func:`basecall` — the e2e parity test uses them to
+    match the reference generator's f32 char-position stitch exactly.
     """
     t0 = perf_counter()
     n_reads = 0
@@ -267,7 +272,7 @@ def run_basecaller(model, params, reads, fastq_out, summary_out=None,
     for read, attrs in basecall(
             model, params, reads, chunksize=chunksize, overlap=overlap,
             batchsize=batchsize, reverse=reverse, quantize=quantize,
-            beam_width=beam_width):
+            beam_width=beam_width, **basecall_opts):
         n_reads += 1
         n_samples += len(read.signal)
         fastq_out.write(

@@ -142,23 +142,57 @@ class DuplexRead:
 
 def duplex_pairs(model, params, pairs: list[tuple], reads: Iterable,
                  chunksize: int = 3600, overlap: int = 500,
-                 batchsize: int = 256,
-                 min_indel_q: int = 15) -> Iterator[DuplexRead]:
+                 batchsize: int = 256, min_indel_q: int = 15,
+                 pair_decode: bool = False,
+                 padding: int = 40) -> Iterator[DuplexRead]:
     """Basecall every read involved in ``pairs`` (with real qscores) and
-    yield duplex consensus reads (template read id + ';duplex')."""
+    yield duplex consensus reads (template read id + ';duplex').
+
+    ``pair_decode=True`` runs the envelope-constrained exact pair
+    Viterbi over both strands' transition posteriors
+    (infer/pair_decode.py — the reference duplex.py:257-297 algorithm,
+    full XNA alphabet) and falls back to the quality-arithmetic
+    consensus merge when the pair fails its simplex match gate or the
+    DP is infeasible."""
     from xna_basecaller_tpu.infer.basecall import basecall
 
     wanted = {r for pair in pairs for r in pair}
     calls: dict[str, tuple[str, str]] = {}
+    signals: dict[str, np.ndarray] = {}
+    keep_signals = pair_decode
+
+    def _tap(rs):
+        for r in rs:
+            if r.read_id in wanted:
+                if keep_signals:
+                    signals[r.read_id] = np.asarray(r.signal, np.float32)
+                yield r
+
     for read, attrs in basecall(
-            model, params,
-            (r for r in reads if r.read_id in wanted),
+            model, params, _tap(reads),
             chunksize=chunksize, overlap=overlap, batchsize=batchsize,
             qscores=True):
         calls[read.read_id] = (attrs["sequence"], attrs["qstring"])
+    alphabet = None
+    if pair_decode:
+        alphabet = model.seqdist.alphabet
+        if not isinstance(alphabet, str):
+            alphabet = "".join(alphabet)
     for tid, cid in pairs:
         if tid not in calls or cid not in calls:
             continue
+        if pair_decode and tid in signals and cid in signals:
+            from xna_basecaller_tpu.infer import pair_decode as pdec
+            t1, i1 = pdec.read_transition_probs(
+                model, params, signals[tid], chunksize, overlap)
+            t2, i2 = pdec.read_transition_probs(
+                model, params, signals[cid], chunksize, overlap,
+                reverse=True)
+            got = pdec.decode_pair(t1, i1, t2, i2, alphabet,
+                                   padding=padding)
+            if got is not None:
+                yield DuplexRead(f"{tid};duplex", got[0], got[1], tid, cid)
+                continue
         seq1, q1 = calls[tid]
         seq2, q2 = calls[cid]
         seq, q = duplex_consensus(seq1, q1, seq2, q2,

@@ -266,6 +266,29 @@ def posteriors(scores, n_base: int, state_len: int, semiring: str = LOG):
 
 
 @partial(jax.jit, static_argnames=("n_base", "state_len"))
+def compute_transition_probs(scores, n_base: int, state_len: int):
+    """Per-frame transition posteriors + initial-state posteriors.
+
+    Mirrors the reference CTC_CRF.compute_transition_probs
+    (crf/model.py:63-76), the score form consumed by the duplex pair
+    decode (cli/duplex.py:219-228): edge scores plus backward partials,
+    re-laid-out from (new_state, dropped_base) to (old_state,
+    emitted_base), softmax-normalised per old state over the n_base+1
+    choices {stay, emit b}.  Returns
+    (trans [T, N, n_state, n_base+1], init [N, n_state]).
+    """
+    scores = scores.astype(jnp.float32)
+    T, N, C = scores.shape
+    ns = n_base ** state_len
+    betas = backward_scores(scores, n_base, state_len, LOG)
+    lt = scores.reshape(T, N, ns, n_base + 1) + betas[1:, :, :, None]
+    # (new_state s, dropped d) -> (old_state d*ns/nb + s//nb, emitted s%nb)
+    moves = jnp.swapaxes(lt[..., 1:], 3, 2).reshape(T, N, ns, n_base)
+    lt = jnp.concatenate([lt[..., :1], moves], axis=-1)
+    return jax.nn.softmax(lt, axis=-1), jax.nn.softmax(betas[0], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len"))
 def viterbi_path(scores, n_base: int, state_len: int):
     """Most-likely per-frame labels: [T, N, C] -> [T, N] ints in [0, n_base].
 

@@ -307,6 +307,85 @@ def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None):
     )(xp, w_hh)
 
 
+def _lstm_bwd_kernel(dy_ref, ysp_ref, csp_ref, cs_ref, xp_ref, whh_ref,
+                     dxp_ref, dh_ref, dc_ref):
+    """One reverse timestep of the analytic LSTM backward.
+
+    The grid walks t = 0..T-1 but the index maps feed time T-1-t, so the
+    dh/dc carries live in VMEM scratch across the whole reverse scan and
+    W_hh stays resident; per step: one gate-recompute matmul
+    ([BN,H]x[H,4H]) + one cotangent matmul (dgates contracted against
+    W_hh's 4H axis = dgates @ W^T without materialising the transpose).
+    Gates are recomputed rather than saved: the extra matmul is cheaper
+    than streaming 4 extra [T,N,H] residual tensors through HBM."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    f32 = jnp.float32
+    h_prev = ysp_ref[0]
+    H = h_prev.shape[1]
+    gates = xp_ref[0].astype(f32) + jnp.dot(
+        h_prev, whh_ref[:], preferred_element_type=f32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    tc = jnp.tanh(cs_ref[0].astype(f32))
+    dh = dy_ref[0].astype(f32) + dh_ref[:]
+    do = dh * tc
+    dc = dh * o * (1 - tc * tc) + dc_ref[:]
+    di = dc * g
+    df = dc * csp_ref[0].astype(f32)
+    dg = dc * i
+    dgates = jnp.concatenate([
+        di * i * (1 - i), df * f * (1 - f),
+        dg * (1 - g * g), do * o * (1 - o)], axis=1)
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+    # dgates @ W^T: contract both 4H axes (no transposed copy of W)
+    dh_ref[:] = jax.lax.dot_general(
+        dgates.astype(whh_ref.dtype), whh_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dc_ref[:] = dc * f
+
+
+def _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp, w_hh,
+                    block_n: int | None = None):
+    """Reverse recurrence as a Pallas kernel -> dgates [T, N, 4H]
+    (stored in xp's dtype; the caller's dw einsum consumes it in the
+    matmul dtype either way)."""
+    T, N, H4 = xp.shape
+    H = H4 // 4
+    # W resident (4.5MB at H=768) + f32 cell residual blocks: BN=128
+    # keeps the double-buffered working set inside the 16MB VMEM budget
+    BN = block_n or _auto_block_n(N, cap=128)
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731
+    return pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(N // BN, T),
+        in_specs=[
+            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BN, H4), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N, H4), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BN, H), jnp.float32),
+            pltpu.VMEM((BN, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(dys, ys_prev, cs_prev, cs, xp, w_hh)
+
+
 @jax.custom_vjp
 def lstm_recurrence_trainable(xp, w_hh):
     """Differentiable fused recurrence: forward via the Pallas kernel,
@@ -321,54 +400,27 @@ def _trainable_fwd(xp, w_hh):
 
 
 def _trainable_bwd(res, dys):
+    # MXU inputs stay in the forward's compute dtype (bf16 in training —
+    # f32 matmuls run at ~1/4 MXU rate on v5e and dominated the step);
+    # every accumulation (gate math, dc/dh chains, dw) is f32 inside the
+    # kernel.  The reverse recursion runs as a Pallas kernel with the
+    # dh/dc carries pinned in VMEM (round 2 ran it as an XLA scan, which
+    # re-streamed carries and W through HBM every step and ran the
+    # backward at less than half the forward's rate).
     xp, w_hh, ys, cs = res
     T, N, H4 = xp.shape
     H = H4 // 4
-    f32 = jnp.float32
-    # MXU inputs stay in the forward's compute dtype (bf16 in training —
-    # f32 matmuls run at ~1/4 MXU rate on v5e and dominated the step);
-    # every accumulation (gate math, dc/dh chains, dw) is f32.
     mm = xp.dtype
-    w = w_hh.astype(mm)
-    wT = w_hh.astype(mm).T
-
     ys_prev = jnp.concatenate(
         [jnp.zeros((1, N, H), ys.dtype), ys[:-1]], axis=0)
     cs_prev = jnp.concatenate(
         [jnp.zeros((1, N, H), cs.dtype), cs[:-1]], axis=0)
-
-    def step(carry, inp):
-        dh_carry, dc_carry = carry
-        dy_t, h_prev, c_prev, c_t, xp_t = inp
-        gates = xp_t.astype(f32) + jnp.dot(
-            h_prev.astype(mm), w, preferred_element_type=f32)
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        tc = jnp.tanh(c_t)
-        dh = dy_t.astype(f32) + dh_carry
-        do = dh * tc
-        dc = dh * o * (1 - tc * tc) + dc_carry
-        di = dc * g
-        df = dc * c_prev.astype(f32)
-        dg = dc * i
-        dgates = jnp.concatenate([
-            di * i * (1 - i), df * f * (1 - f),
-            dg * (1 - g * g), do * o * (1 - o)], axis=1)
-        dh_prev = jnp.dot(dgates.astype(mm), wT,
-                          preferred_element_type=f32)
-        dc_prev = dc * f
-        return (dh_prev, dc_prev), dgates
-
-    init = (jnp.zeros((N, H), f32), jnp.zeros((N, H), f32))
-    _, dxp = jax.lax.scan(
-        step, init, (dys, ys_prev, cs_prev, cs, xp), reverse=True)
-    # dw hoisted out of the scan: one big MXU matmul over all timesteps
-    # (sum_t h_{t-1}^T dgates_t) instead of a per-step accumulator —
-    # cuts the sequential recursion from 3 matmuls/step to 2.
+    dxp = _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp,
+                          w_hh.astype(mm))
+    # dw hoisted out of the recursion: one big MXU matmul over all
+    # timesteps (sum_t h_{t-1}^T dgates_t)
     dw = jnp.einsum("tnh,tng->hg", ys_prev.astype(mm), dxp.astype(mm),
-                    preferred_element_type=f32)
+                    preferred_element_type=jnp.float32)
     return dxp.astype(xp.dtype), dw.astype(w_hh.dtype)
 
 

@@ -94,6 +94,25 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        lib.nw_trace.restype = ctypes.c_int
+        lib.nw_trace.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_longlong]
+        lib.pair_viterbi.restype = ctypes.c_int
+        lib.pair_viterbi.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_longlong]
         lib.poa_consensus.restype = ctypes.c_int
         lib.poa_consensus.argtypes = [
             ctypes.c_char_p,
@@ -229,6 +248,56 @@ def poa_consensus(seqs: list[str]) -> str | None:
     if n < 0:
         return None
     return out.raw[:n].decode()
+
+
+def nw_trace(a: str, b: str, match: int = 5, mismatch: int = -4,
+             gap: int = 2, max_cells: int = 256_000_000):
+    """Global NW alignment columns as (idx_a, idx_b) int32 [n, 2] in the
+    reference envelope's cumsum-1 form (cli/duplex.py:143-148), or None
+    when the native library is unavailable or the matrix exceeds
+    ``max_cells`` (caller falls back to the numpy oracle / a cap)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ab, bb = a.encode(), b.encode()
+    pairs = np.empty((len(ab) + len(bb) + 1, 2), np.int32)
+    n = lib.nw_trace(ab, len(ab), bb, len(bb), match, mismatch, gap,
+                     pairs, pairs.shape[0], max_cells)
+    if n < 0:
+        return None
+    return pairs[:n]
+
+
+def pair_viterbi(logt1: np.ndarray, logi1: np.ndarray,
+                 logt2: np.ndarray, logi2: np.ndarray,
+                 env: np.ndarray, n_base: int,
+                 max_cells: int = 500_000_000):
+    """Envelope-banded exact pair Viterbi (duplex decode core).
+
+    ``logt*`` [T, ns, n_base+1] log transition posteriors, ``logi*`` [ns]
+    log initial-state posteriors, ``env`` [T1, 2] int32 strand2 windows.
+    Returns (codes 1..n_base int32 [L], strand1 frames int32 [L]) or None
+    when the native library is unavailable or the DP exceeds
+    ``max_cells`` (caller falls back to the oracle / consensus merge).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t1 = np.ascontiguousarray(logt1, np.float32)
+    t2 = np.ascontiguousarray(logt2, np.float32)
+    i1 = np.ascontiguousarray(logi1, np.float32)
+    i2 = np.ascontiguousarray(logi2, np.float32)
+    e = np.ascontiguousarray(env, np.int32)
+    T1, ns = t1.shape[:2]
+    T2 = t2.shape[0]
+    cap = T1 + T2 + 1
+    seq = np.empty(cap, np.int32)
+    frames = np.empty(cap, np.int32)
+    n = lib.pair_viterbi(t1, i1, T1, t2, i2, T2, e, ns, n_base,
+                         seq, frames, cap, max_cells)
+    if n < 0:
+        return None
+    return seq[:n], frames[:n]
 
 
 def dtw_band(query: np.ndarray, ref: np.ndarray,
