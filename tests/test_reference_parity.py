@@ -141,9 +141,13 @@ class _SequenceDist:
     one-hot Viterbi traceback for Max)."""
 
     def posteriors(self, scores, S=_Log):
-        scores = scores.detach().clone().requires_grad_(True)
-        self.logZ(scores, S).sum().backward()
-        return scores.grad
+        # the real seqdist kernels need no autograd, so callers invoke
+        # this under torch.no_grad() (crf/basecall.py:49); the stub's
+        # defining identity does, so grad is enabled locally
+        with torch.enable_grad():
+            scores = scores.detach().clone().requires_grad_(True)
+            self.logZ(scores, S).sum().backward()
+            return scores.grad
 
 
 def _install_reference_modules():

@@ -140,7 +140,10 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     stride = model.stride
     qbias = model.cfg.qscore.bias
     qscale = model.cfg.qscore.scale
-    up_dtype = np.int8 if quantize else np.float16
+    # uploads are f16 (half the bytes over the relay link) except in the
+    # f32 parity mode, where the signal must reach the encoder unquantised
+    up_dtype = np.int8 if quantize else (
+        np.float32 if compute_dtype == jnp.float32 else np.float16)
 
     def gen_chunks():
         for read in reads:
