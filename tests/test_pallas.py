@@ -141,9 +141,11 @@ def test_int8_lstm_pallas_matches_quantized_oracle():
         x = jax.random.normal(jax.random.key(4), (T, N, H), jnp.float32)
         y_q = lstm_pallas.lstm_forward_pallas_int8(p, x)
 
-        # oracle: same per-column int8 weights + per-step h requantization
+        # oracle: same int8 input projection, per-column int8 weights +
+        # per-step h requantization
         w_q, scale = lstm_pallas.quantize_w_hh(p["w_hh"])
-        xp = jnp.einsum("tni,ih->tnh", x, p["w_ih"]) + p["bias"]
+        wp_q, wp_s = lstm_pallas.quantize_w_hh(p["w_ih"])
+        xp = lstm_pallas.int8_matmul(x, wp_q, wp_s) + p["bias"]
         deq = scale / 127.0
 
         def step(carry, xp_t):
@@ -383,3 +385,20 @@ def test_decode_paths_batch_tiling_shapes(N):
                                            interpret=True)
     p_ref = crf.decode_paths(s, n_base, state_len)
     np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_ref))
+
+
+def test_int8_matmul_close_to_f32():
+    """int8 x int8 -> int32 dense (per-column weight scales + dynamic
+    per-tensor activation scale) vs the f32 matmul."""
+    from xna_basecaller_tpu.ops.lstm_pallas import int8_matmul, quantize_w_hh
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 33, 96)).astype(np.float32)
+    w = (rng.normal(size=(96, 192)) *
+         rng.uniform(0.2, 3.0, size=(1, 192))).astype(np.float32)
+    w_q, w_s = quantize_w_hh(jnp.asarray(w))
+    got = np.asarray(int8_matmul(jnp.asarray(x), w_q, w_s))
+    want = x.reshape(-1, 96) @ w
+    rel = np.abs(got.reshape(-1, 192) - want) / (np.abs(want).mean() + 1e-9)
+    assert rel.mean() < 0.02, rel.mean()
+    assert np.percentile(rel, 99.5) < 0.1

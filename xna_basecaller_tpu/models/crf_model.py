@@ -75,17 +75,30 @@ def rnn_directions(cfg: ModelConfig) -> tuple[bool, ...]:
     return tuple((i % 2) == 0 for i in range(cfg.encoder.num_rnn_layers))
 
 
-def crf_head_forward(params, x, cfg: ModelConfig):
+def crf_head_forward(params, x, cfg: ModelConfig, int8: bool = False):
     """LinearCRFEncoder forward (reference nn.py:112-133): linear -> tanh ->
     * scale -> blank-score expansion pad.  x: [T, N, features] ->
-    scores [T, N, n_score] (always the expanded layout)."""
+    scores [T, N, n_score] (always the expanded layout).
+
+    ``int8=True`` (the --quantize production path) runs the head matmuls
+    int8 x int8 -> int32 at the MXU's doubled int8 rate; the tanh+scale
+    clamp absorbs the ~1e-2 quantisation error before decoding."""
     enc = cfg.encoder
+    if int8:
+        from xna_basecaller_tpu.ops.lstm_pallas import (
+            int8_matmul, quantize_w_hh,
+        )
+
+        def dense(v, w):
+            w_q, w_s = quantize_w_hh(w)
+            return int8_matmul(v, w_q, w_s)
+    else:
+        def dense(v, w):
+            return jnp.dot(v, w, preferred_element_type=jnp.float32)
     if "head_ext" in params:
-        x = jnp.dot(x, params["head_ext"]["w"],
-                    preferred_element_type=jnp.float32).astype(x.dtype) \
+        x = dense(x, params["head_ext"]["w"]).astype(x.dtype) \
             + params["head_ext"]["b"]
-    scores = jnp.dot(x, params["head"]["w"],
-                     preferred_element_type=jnp.float32) + params["head"]["b"]
+    scores = dense(x, params["head"]["w"]) + params["head"]["b"]
     scores = jnp.tanh(scores)
     if enc.scale is not None:
         scores = scores * enc.scale
@@ -170,7 +183,8 @@ def forward(params, signal, cfg: ModelConfig, compute_dtype=jnp.bfloat16,
             if i < len(dirs) - 1:  # last layer's dropout sits in the head
                 x = dropout(x, enc.drop_rate_bottom, keys[1 + i])
     x = dropout(x, enc.drop_rate, keys[-1])
-    scores = crf_head_forward(params, x, cfg)
+    scores = crf_head_forward(params, x, cfg,
+                              int8=lstm_int8 and inference)
     return scores.astype(jnp.float32)
 
 

@@ -145,6 +145,22 @@ def quantize_w_hh(w_hh):
     return w_q, scale
 
 
+def int8_matmul(x, w_q, w_scale):
+    """int8 x int8 -> int32 MXU matmul with per-column weight scales and
+    a dynamic per-tensor activation scale: the v5e MXU runs int8 at 2x
+    the bf16 rate, so the big parallel matmuls (LSTM input projections,
+    CRF head) join the int8 production path, not just the recurrence.
+    x [..., K] float; w_q [K, M] int8; w_scale [M] f32."""
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) * (1.0 / 127.0)
+    x_q = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (xs * w_scale)[None, :]
+    return out.reshape(*lead, -1)
+
+
 def _make_int8_kernel(unroll: int):
     def kernel(xp_ref, wq_ref, scale_ref, y_ref, h_ref, c_ref):
         """unroll timesteps with the recurrent matmul in int8.
@@ -224,12 +240,14 @@ def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None,
 
 
 def lstm_forward_pallas_int8(params, x, reverse: bool = False):
-    """lstm_forward with the int8 recurrence.  The input projection stays
-    a bf16 MXU matmul (parallel over T, not the serial bottleneck)."""
+    """lstm_forward with int8 everywhere the MXU is engaged: the input
+    projection (parallel over T — as many FLOPs as the recurrence) as an
+    int8 x int8 -> int32 matmul, and the recurrence via the fused int8
+    kernel."""
     if reverse:
         x = jnp.flip(x, axis=0)
-    xp = (jnp.einsum("tni,ih->tnh", x, params["w_ih"],
-                     preferred_element_type=jnp.float32)
+    wp_q, wp_scale = quantize_w_hh(params["w_ih"])
+    xp = (int8_matmul(x, wp_q, wp_scale)
           + params["bias"]).astype(x.dtype)
     w_q, scale = quantize_w_hh(params["w_hh"])
     ys = lstm_recurrence_pallas_int8(xp, w_q, scale)
