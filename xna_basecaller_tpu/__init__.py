@@ -23,4 +23,17 @@ def _enable_persistent_compile_cache():
         pass
 
 
+def _bound_tunnel_journal():
+    """The axon (tunneled TPU) client journals every execution's argument
+    buffers for replay-on-reconnect; without compaction the journal
+    retains ~|params| host RSS PER EXECUTION (~94 MB/step for the
+    flagship — measured OOM at 130 GB on a 96k-read basecall run) and
+    slows dispatch ~3x as it grows.  Compaction bounds it and removes
+    the leak entirely.  Opt out with XNACALL_NO_JOURNAL_COMPACT=1."""
+    if os.environ.get("XNACALL_NO_JOURNAL_COMPACT"):
+        return
+    os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
+
+
+_bound_tunnel_journal()
 _enable_persistent_compile_cache()
