@@ -22,6 +22,13 @@ import time
 
 BASELINE_SAMPLES_PER_S = 1.0e6  # proxy; see module docstring
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from xna_basecaller_tpu.utils.platform import (  # noqa: E402
+    ensure_tunnel_journal_compact,
+)
+
+ensure_tunnel_journal_compact()
+
 
 def main():
     import jax

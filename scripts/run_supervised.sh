@@ -6,6 +6,10 @@
 #
 # usage: run_supervised.sh <done_file> <logfile> <cmd...>
 set -u
+# tunneled-TPU client: bound the replay journal (else ~94MB leaks per
+# dispatch and dispatch slows as the journal grows); must be in the env
+# BEFORE python starts (the plugin registers via sitecustomize)
+export AXON_JOURNAL_COMPACT=${AXON_JOURNAL_COMPACT:-1}
 DONE_FILE=$1; shift
 LOG=$1; shift
 ATTEMPT=0

@@ -246,6 +246,10 @@ def phase_d_validate(args, workdir):
 
 
 def main():
+    from xna_basecaller_tpu.utils.platform import (
+        ensure_tunnel_journal_compact,
+    )
+    ensure_tunnel_journal_compact()
     p = argparse.ArgumentParser()
     p.add_argument("--exp", default="CPLX", choices=["POC", "CPLX"])
     p.add_argument("--out", default="/tmp/spliced_northstar")

@@ -29,7 +29,15 @@ def _bound_tunnel_journal():
     retains ~|params| host RSS PER EXECUTION (~94 MB/step for the
     flagship — measured OOM at 130 GB on a 96k-read basecall run) and
     slows dispatch ~3x as it grows.  Compaction bounds it and removes
-    the leak entirely.  Opt out with XNACALL_NO_JOURNAL_COMPACT=1."""
+    the leak entirely.
+
+    This setdefault is BEST-EFFORT: the plugin registers at interpreter
+    start (sitecustomize) and can capture its env before this import
+    runs.  Entry points call
+    utils.platform.ensure_tunnel_journal_compact(), which re-execs with
+    the variable guaranteed in the startup env; long-run shells should
+    export AXON_JOURNAL_COMPACT=1 (run_supervised.sh does).  Opt out
+    with XNACALL_NO_JOURNAL_COMPACT=1."""
     if os.environ.get("XNACALL_NO_JOURNAL_COMPACT"):
         return
     os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")

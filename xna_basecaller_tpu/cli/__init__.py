@@ -20,6 +20,11 @@ modules = [
 
 
 def main(argv=None):
+    if argv is None:  # real CLI invocation, not an in-process test call
+        from xna_basecaller_tpu.utils.platform import (
+            ensure_tunnel_journal_compact,
+        )
+        ensure_tunnel_journal_compact()
     parser = argparse.ArgumentParser(
         "xnacall",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
