@@ -88,56 +88,80 @@ def phase_b_bootstrap_data(args, boot_dir):
         if os.path.exists(os.path.join(ctc_dir, "breakpoints.npy")):
             log(f"> [B] {kind} ctc-data exists, skipping")
             continue
-        t0 = time.time()
-        rng = np.random.default_rng(100 if kind == "xna" else 200)
 
-        def chunk_reads():
-            from xna_basecaller_tpu.data.simulate import SimReadObj
-            for read in sim_library_reads(
-                    refs, rng, n_reads, with_ubs, "default",
-                    read_len_chunks=args.read_chunks, jitter=args.jitter):
-                sig = read.signal
-                for j in range(len(sig) // 3600):
-                    yield SimReadObj(
-                        read_id=f"{read.read_id}:{j}",
-                        signal=sig[j * 3600:(j + 1) * 3600])
-
-        # reference coverage gate (io.py:505): >=90% of the basecall must
-        # align, which with full-construct fragment reads also means the
-        # stored target covers essentially all of the chunk's signal
-        writer = CtcDataWriter(ctc_dir, min_coverage=0.9,
-                               min_accuracy=args.ctc_min_acc,
-                               ub_only=ub_only, log=log)
-        # two-stage construct aligner: canonical-backbone SW + insert
-        # demux (eval/construct_align.py) — the minimap2-vs-refdb.fasta
-        # equivalent of the reference's --save-ctc path
-        aligner = from_refs(refs, with_ubs=with_ubs)
-
-        def _align(item):
-            read, attrs = item
-            seq = attrs["sequence"]
-            rec = aligner.align(read.read_id, seq) if seq else None
-            return read, seq, rec
-
-        n_in = 0
-        # native SW/levenshtein release the GIL -> thread map scales
-        from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
-        for read, seq, rec in ordered_thread_map(
-                _align,
-                basecall(model, params, chunk_reads(), chunksize=3600,
-                         overlap=500, batchsize=args.batch),
-                n_workers=args.n_proc, maxsize=8):
-            n_in += 1
-            if not seq:
-                writer.add(read.signal, seq, None)
+        # shards bound the work lost to a tunnel drop (the compacted
+        # client journal cannot replay a dropped connection — the
+        # supervisor relaunches and completed shards are skipped)
+        n_shards = max(1, round(n_reads / args.shard_reads))
+        base_seed = 100 if kind == "xna" else 200
+        shard_dirs = []
+        aligner = None
+        for si in range(n_shards):
+            sdir = (ctc_dir if n_shards == 1
+                    else os.path.join(args.out, f"ctc_{kind}_s{si}"))
+            shard_dirs.append(sdir)
+            if os.path.exists(os.path.join(sdir, "chunks.npy")):
+                log(f"> [B] {kind} shard {si} exists, skipping")
                 continue
-            mapping = rec.as_dict() if rec else None
-            refseq = aligner.refseq(rec) if rec is not None else None
-            writer.add(read.signal, seq, mapping, refseq=refseq)
-        n_kept = writer.save()
-        log(f"> [B] {kind}: {n_kept}/{n_in} chunks kept "
-            f"({time.time() - t0:.0f}s); stats={writer.stats}")
-        if n_kept == 0:
+            t0 = time.time()
+            rng = np.random.default_rng(base_seed + 1000 * si)
+            shard_n = n_reads // n_shards + (si < n_reads % n_shards)
+
+            def chunk_reads():
+                from xna_basecaller_tpu.data.simulate import SimReadObj
+                for read in sim_library_reads(
+                        refs, rng, shard_n, with_ubs, "default",
+                        read_len_chunks=args.read_chunks,
+                        jitter=args.jitter):
+                    sig = read.signal
+                    for j in range(len(sig) // 3600):
+                        yield SimReadObj(
+                            read_id=f"{read.read_id}:{j}",
+                            signal=sig[j * 3600:(j + 1) * 3600])
+
+            # reference coverage gate (io.py:505): >=90% of the basecall
+            # must align, which with full-construct fragment reads also
+            # means the stored target covers the whole chunk signal
+            writer = CtcDataWriter(sdir, min_coverage=0.9,
+                                   min_accuracy=args.ctc_min_acc,
+                                   ub_only=ub_only, log=log)
+            # two-stage construct aligner: canonical-backbone SW + insert
+            # demux (eval/construct_align.py) — the minimap2-vs-refdb
+            # equivalent of the reference's --save-ctc path
+            if aligner is None:
+                aligner = from_refs(refs, with_ubs=with_ubs)
+
+            def _align(item):
+                read, attrs = item
+                seq = attrs["sequence"]
+                rec = aligner.align(read.read_id, seq) if seq else None
+                return read, seq, rec
+
+            n_in = 0
+            # native SW/levenshtein release the GIL -> thread map scales
+            from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
+            for read, seq, rec in ordered_thread_map(
+                    _align,
+                    basecall(model, params, chunk_reads(), chunksize=3600,
+                             overlap=500, batchsize=args.batch),
+                    n_workers=args.n_proc, maxsize=8):
+                n_in += 1
+                if not seq:
+                    writer.add(read.signal, seq, None)
+                    continue
+                mapping = rec.as_dict() if rec else None
+                refseq = aligner.refseq(rec) if rec is not None else None
+                writer.add(read.signal, seq, mapping, refseq=refseq)
+            n_kept = writer.save()
+            log(f"> [B] {kind} shard {si}: {n_kept}/{n_in} chunks kept "
+                f"({time.time() - t0:.0f}s); stats={writer.stats}")
+        if n_shards > 1:
+            from xna_basecaller_tpu.data.ctc_data import merge_ctc_dirs
+            n_tot = merge_ctc_dirs(ctc_dir, *shard_dirs, load_bkps=False)
+            log(f"> [B] {kind}: merged {n_shards} shards -> {n_tot} chunks")
+        if not os.path.exists(os.path.join(ctc_dir, "chunks.npy")) or \
+                not len(np.load(os.path.join(ctc_dir, "chunks.npy"),
+                                mmap_mode="r")):
             raise RuntimeError(f"bootstrap produced no {kind} ctc data")
         dtw_segmentation(ctc_dir, n_proc=args.n_proc, log=log)
     return out["xna"], out["dna"]
@@ -265,6 +289,8 @@ def main():
     p.add_argument("--dna-reads", type=int, default=5000)
     p.add_argument("--read-chunks", type=int, default=2,
                    help="device chunks per simulated bootstrap read")
+    p.add_argument("--shard-reads", type=int, default=12000,
+                   help="bootstrap-data shard size (resume granularity)")
     p.add_argument("--ctc-min-acc", type=float, default=0.85)
     p.add_argument("--jitter", action="store_true",
                    help="domain-randomise the bootstrap-data signal regime")
