@@ -134,3 +134,39 @@ def test_load_script_escape_hatch(tmp_path):
         "        return _mk(2)\n")
     train, valid = load_script(str(tmp_path))
     assert len(train) == 8 and len(valid) == 2
+
+
+def test_basecall_superbatch_matches_single():
+    """superbatch=G stacks G batches into one execution; output sequences
+    must be identical to the per-batch path, including the trailing
+    partial group."""
+    import jax
+    import jax.numpy as jnp
+
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.infer.basecall import basecall
+    from xna_basecaller_tpu.models.crf_model import Model
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    model = Model(cfg)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+
+    class R:
+        def __init__(self, rid, sig):
+            self.read_id, self.signal = rid, sig
+
+    # 7 reads of ~2 chunks each -> 13+ batches of 2 -> uneven final group
+    reads = [R(f"r{i}", rng.normal(size=int(rng.integers(900, 2400)))
+               .astype(np.float32)) for i in range(7)]
+
+    def run(g):
+        return {r.read_id: a["sequence"] for r, a in basecall(
+            model, params, iter(reads), chunksize=1000, overlap=200,
+            batchsize=2, compute_dtype=jnp.float32, superbatch=g)}
+
+    base = run(1)
+    assert set(base) == {r.read_id for r in reads}
+    for g in (3, 4):
+        got = run(g)
+        assert got == base, g

@@ -134,7 +134,7 @@ def main(args):
             batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
             qscores=args.qscores, cancel=cancel,
             quantize=args.quantize or cfg.basecaller.quantize,
-            beam_width=args.beam)
+            beam_width=args.beam, superbatch=args.superbatch)
     try:
         for read, attrs in called:
             n_reads += 1
@@ -232,6 +232,10 @@ def argparser():
     parser.add_argument("--chunksize", default=None, type=int)
     parser.add_argument("--overlap", default=None, type=int)
     parser.add_argument("--batchsize", default=None, type=int)
+    parser.add_argument("--superbatch", default=1, type=int, metavar="G",
+                        help="stack G batches per device execution "
+                             "(amortises per-execution runtime cost; "
+                             "G*batchsize rows per forward)")
     parser.add_argument("--max-reads", default=0, type=int)
     parser.add_argument("--summary", default=None,
                         help="write per-read summary tsv here")

@@ -118,7 +118,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              legacy_char_stitch: bool = False,
              qscores: bool = False, cancel=None,
              stitch_workers: int = 4, quantize: bool = False,
-             beam_width: int = 0) -> Iterator:
+             beam_width: int = 0, superbatch: int = 1) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
@@ -156,17 +156,40 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     chunks = thread_iter(gen_chunks())
     batches = thread_iter(chunkops.batchify(iter(chunks), batchsize))
 
+    # superbatch: stack G fixed-shape batches into ONE upload + ONE
+    # device execution ([G*N] rows through the encoder: bigger MXU
+    # matmuls, and G-fold fewer executions — which matters through the
+    # tunneled runtime, where each execution pays fixed client-side cost)
+    G = max(1, int(superbatch)) if not (qscores or beam_width > 0) else 1
+
     def gen_uploads():
         # dedicated H2D stage: pad to the fixed shape, cast to f16 (half
         # the bytes over the host<->device link; int8 with quantize=True,
         # half again) and upload ahead of compute
+        gk, gn, ga = [], [], []
         for keys, batch in batches:
             padded, n = _pad_batch(np.asarray(batch), batchsize)
             if quantize:
                 from xna_basecaller_tpu.models.crf_model import QUANT_SCALE
                 padded = np.clip(np.rint(padded * QUANT_SCALE), -127, 127)
-            dev = jax.device_put(np.asarray(padded, up_dtype))
-            yield keys, n, dev
+            if G == 1:
+                yield [keys], [n], jax.device_put(
+                    np.asarray(padded, up_dtype)[None])
+                continue
+            gk.append(keys)
+            gn.append(n)
+            ga.append(np.asarray(padded, up_dtype))
+            if len(ga) == G:
+                yield gk, gn, jax.device_put(np.stack(ga))
+                gk, gn, ga = [], [], []
+        if ga:
+            # fixed [G, N, T] shape: pad the trailing group with empty
+            # batches (n=0) so the compiled program is reused
+            while len(ga) < G:
+                gk.append(())
+                gn.append(0)
+                ga.append(np.zeros_like(ga[0]))
+            yield gk, gn, jax.device_put(np.stack(ga))
 
     uploads = thread_iter(gen_uploads(), maxsize=3)
 
@@ -174,11 +197,13 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
         # dispatch-only stage: the device arrays are NOT synced here, so
         # the accelerator pipelines batch k+1 while batch k's results
         # drain device->host in the fetch stage below
-        for keys, n, dev in uploads:
+        for keys_g, n_g, dev in uploads:
+            g, N, T = dev.shape
             # quantize also switches the fused LSTM recurrence to int8
             # weights/hidden (reference util.py:304-309: --quantize selects
             # the koi int8 graph), doubling the MXU rate on v5e
-            sc = model.apply(params, dev, compute_dtype=compute_dtype,
+            sc = model.apply(params, dev.reshape(g * N, T),
+                             compute_dtype=compute_dtype,
                              lstm_int8=quantize)
             if qscores:
                 paths, probs = _score_and_decode_qual(
@@ -194,16 +219,22 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                     sc, model.seqdist.n_base, model.seqdist.state_len,
                     reverse)
                 probs = None
-            yield keys, n, paths, probs
+            yield keys_g, n_g, N, paths, probs
 
     computed = thread_iter(gen_compute(), maxsize=3)
 
     def gen_fetch():
-        for keys, n, paths, probs in computed:
-            out = {"path": np.asarray(paths)[:n]}
-            if probs is not None:
-                out["prob"] = np.asarray(probs)[:n].astype(np.float32)
-            yield keys, out
+        for keys_g, n_g, N, paths, probs in computed:
+            p_host = np.asarray(paths)
+            q_host = None if probs is None else np.asarray(probs)
+            for gi, (keys, n) in enumerate(zip(keys_g, n_g)):
+                if not keys:
+                    continue  # trailing-group padding
+                lo = gi * N
+                out = {"path": p_host[lo:lo + n]}
+                if q_host is not None:
+                    out["prob"] = q_host[lo:lo + n].astype(np.float32)
+                yield keys, out
 
     scores = thread_iter(gen_fetch())
 
