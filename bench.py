@@ -72,14 +72,19 @@ def main():
     profile_dir = os.environ.get("XNACALL_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
+    # superbatch G stacks G batches per device execution (fewer
+    # executions through the relay, bigger MXU matmuls); tunable via
+    # XNACALL_BENCH_SUPERBATCH, best-of over passes either way
+    G = int(os.environ.get("XNACALL_BENCH_SUPERBATCH", "4"))
     best = None
-    for i in range(3):
+    for i, g in enumerate((1, G, G) if G > 1 else (1, 1, 1)):
         fq = io.StringIO()
         stats = run_basecaller(
             model, params, iter(reads), fq, None,
-            chunksize=chunksize, overlap=overlap, batchsize=batchsize)
-        print(f"[bench] pass {i}: {stats['reads']} reads in "
-              f"{stats['seconds']:.2f}s "
+            chunksize=chunksize, overlap=overlap, batchsize=batchsize,
+            superbatch=g)
+        print(f"[bench] pass {i} (superbatch={g}): {stats['reads']} reads "
+              f"in {stats['seconds']:.2f}s "
               f"({stats['samples_per_s']:.2e} samples/s)", file=sys.stderr)
         if best is None or stats["samples_per_s"] > best["samples_per_s"]:
             best = stats

@@ -177,7 +177,8 @@ def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir):
         return workdir
     argv = [workdir, "--directory", dna_dir, "--xna-ctc-dir", xna_dir,
             "--pretrained", boot_dir, "--stitch", "--ubs", "XY",
-            "--ub-prop", "0.09", "--freeze-bottom", "--unfreeze-top", "3",
+            "--ub-prop", str(args.ub_prop),
+            "--freeze-bottom", "--unfreeze-top", str(args.unfreeze_top),
             "--epochs", str(args.epochs), "--batch", str(args.batch),
             "--lr", str(args.lr), "-f"]
     log(f"> [C] spliced training: {' '.join(argv)}")
@@ -283,6 +284,9 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--epochs", type=int, default=8,
                    help="spliced-training epochs")
+    p.add_argument("--ub-prop", type=float, default=0.09,
+                   help="stitch UB insert proportion (BASELINE config #5)")
+    p.add_argument("--unfreeze-top", type=int, default=3)
     p.add_argument("--boot-epochs", type=int, default=10)
     p.add_argument("--boot-chunks", type=int, default=12288)
     p.add_argument("--xna-reads", type=int, default=6000)
