@@ -122,8 +122,11 @@ def phase_b_bootstrap_data(args, boot_dir):
             # reference coverage gate (io.py:505): >=90% of the basecall
             # must align, which with full-construct fragment reads also
             # means the stored target covers the whole chunk signal
+            min_acc = (args.dna_min_acc if kind == "dna"
+                       and args.dna_min_acc is not None
+                       else args.ctc_min_acc)
             writer = CtcDataWriter(sdir, min_coverage=0.9,
-                                   min_accuracy=args.ctc_min_acc,
+                                   min_accuracy=min_acc,
                                    ub_only=ub_only, log=log)
             # two-stage construct aligner: canonical-backbone SW + insert
             # demux (eval/construct_align.py) — the minimap2-vs-refdb
@@ -296,6 +299,10 @@ def main():
     p.add_argument("--shard-reads", type=int, default=12000,
                    help="bootstrap-data shard size (resume granularity)")
     p.add_argument("--ctc-min-acc", type=float, default=0.85)
+    p.add_argument("--dna-min-acc", type=float, default=None,
+                   help="separate (stricter) accuracy gate for the DNA "
+                        "training base: cleaner labels slow the demux "
+                        "decay over spliced epochs")
     p.add_argument("--jitter", action="store_true",
                    help="domain-randomise the bootstrap-data signal regime")
     p.add_argument("--val-reads", type=int, default=300)
