@@ -102,7 +102,8 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
                       weights: str = "99", batchsize: int = 128,
                       ubs: str = "XY", out_dir: str | None = None,
                       chunksize: int = 3600, overlap: int = 500,
-                      quantize: bool = False, log=print) -> dict:
+                      quantize: bool = False, beam_width: int = 0,
+                      log=print) -> dict:
     """Load ``weights_{weights}.npz`` from ``workdir``, basecall ``reads``
     into a FASTQ under ``out_dir`` (idempotent), and run :func:`eval_model`.
 
@@ -128,6 +129,7 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
         with open(fq, "w") as fh:
             run_basecaller(model, params, iter(reads), fh,
                            chunksize=chunksize, overlap=overlap,
-                           batchsize=batchsize, quantize=quantize)
+                           batchsize=batchsize, quantize=quantize,
+                           beam_width=beam_width)
     return eval_model(exp, out_dir, split=split, reads_fastq=fq, ubs=ubs,
                       log=log)
