@@ -174,12 +174,19 @@ def _pure_device_throughput(model, params, batchsize, chunksize,
                     acc + psum)
         return jax.lax.fori_loop(0, n, body, (sig, 0.0))[1]
 
-    y = run(batch)
-    jax.block_until_ready(y)  # compile + warm
+    # warmup: compile AND pay the first (expensive) D2H fetch; timed
+    # passes then use FRESH random inputs and time through a VALUE fetch
+    # — under the tunnel, identical (program, args) dispatches are
+    # deduplicated and block_until_ready can return before execution, so
+    # only a fetched value of a fresh input is an honest clock.
+    float(run(batch))
+    rng = np.random.default_rng(time.time_ns() % 2**31)
     best = 0.0
     for _ in range(2):
+        b = jax.device_put(rng.normal(
+            size=(batchsize, chunksize)).astype(np.float16))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(batch))
+        float(run(b))
         best = max(best, n * batchsize * chunksize /
                    (time.perf_counter() - t0))
     return best
@@ -209,14 +216,16 @@ def _augment_throughput(batch: int = 128) -> float:
             jax.numpy.asarray(tables.lens),
             jax.numpy.asarray(tables.counts))
     out = stitch_batch(jax.random.key(0), *args, prop_ubs=0.09)
-    jax.block_until_ready(out)
+    float(out[0].sum())  # compile + first fetch
     best = 0.0
-    for _ in range(2):
+    base_key = int(time.time_ns() % 2**28)
+    for p in range(2):
         t0 = time.perf_counter()
         n = 4
         for i in range(n):
-            out = stitch_batch(jax.random.key(i + 1), *args, prop_ubs=0.09)
-        jax.block_until_ready(out)
+            out = stitch_batch(jax.random.key(base_key + 4 * p + i + 1),
+                               *args, prop_ubs=0.09)
+        float(out[0].sum())  # value fetch = honest completion clock
         best = max(best, n * batch * 3600 / (time.perf_counter() - t0))
     return best
 
@@ -241,7 +250,7 @@ def _train_throughput(model, params, cfg, batch: int = 128) -> float:
 
     params, opt_state, loss, _ = loop.train_step(
         params, opt_state, c, t, lens, cfg, optimizer)
-    jax.block_until_ready(loss)  # compile + first step
+    float(loss)  # compile + first step + first D2H fetch
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -249,7 +258,9 @@ def _train_throughput(model, params, cfg, batch: int = 128) -> float:
         for _ in range(n):
             params, opt_state, loss, _ = loop.train_step(
                 params, opt_state, c, t, lens, cfg, optimizer)
-        jax.block_until_ready(loss)
+        # steps chain through params/opt_state (no dedup); the loss
+        # VALUE fetch is the honest completion clock (see above)
+        float(loss)
         sps = n * batch * 3600 / (time.perf_counter() - t0)
         best = max(best, sps)
     return best

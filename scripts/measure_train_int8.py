@@ -36,7 +36,7 @@ def measure_train(args):
     opt_state = optimizer.init(params)
     p = jax.device_put(params)
     s = jax.device_put(opt_state)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns() % 2**31)
     B, T = args.batch, 3600
     chunks = jax.device_put(
         rng.normal(size=(B, T)).astype(np.float32))
@@ -77,7 +77,7 @@ def measure_infer_modes(args):
     cfg = ModelConfig(encoder=EncoderConfig(features=768, num_rnn_layers=5))
     model = Model(cfg)
     params = model.init(jax.random.key(0))
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns() % 2**31)
     B, T = args.infer_batch, 3600
     sig = jax.device_put(rng.normal(size=(B, T)).astype(np.float32))
 
@@ -98,8 +98,12 @@ def measure_infer_modes(args):
 
         r = loop(params, sig)
         jax.block_until_ready(r)
+        # time a dispatch with FRESH input values: the relay's cassette
+        # replays results for repeated (program, args) patterns, so both
+        # identical args AND previously-seen outputs can serve from cache
+        sig2 = jax.device_put(rng.normal(size=(B, T)).astype(np.float32))
         t0 = time.perf_counter()
-        r = loop(params, sig)
+        r = loop(params, sig2)
         jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / args.inner
         sps = B * T / dt
