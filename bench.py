@@ -101,7 +101,7 @@ def main():
         q = run_basecaller(
             model, params, iter(reads), io.StringIO(), None,
             chunksize=chunksize, overlap=overlap, batchsize=batchsize,
-            quantize=True)
+            quantize=True, superbatch=G)
         q_best = max(q_best, q["samples_per_s"])
     print(f"[bench] quantized: {q_best:.2e} samples/s", file=sys.stderr)
 

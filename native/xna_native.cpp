@@ -711,7 +711,13 @@ int nw_trace(const char* a, int na, const char* b, int nb,
         tbr[0] = 1;
         const char ai = a[i - 1];
         for (int j = 1; j <= nb; ++j) {
-            const int diag = prev[j - 1] + sub_score(ai, b[j - 1]);
+            const char bj = b[j - 1];
+            // honor the caller's match/mismatch (the numpy oracle
+            // nw_trace_np does; diverging here would silently change
+            // scores between the native and fallback paths)
+            const int sub = (ai == 'N' || bj == 'N') ? N_SCORE
+                            : (ai == bj ? match : mismatch);
+            const int diag = prev[j - 1] + sub;
             const int up = prev[j] - gap;     // consume a[i-1], gap in b
             const int left = cur[j - 1] - gap;  // consume b[j-1], gap in a
             int best = diag;

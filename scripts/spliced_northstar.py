@@ -170,51 +170,95 @@ def phase_b_bootstrap_data(args, boot_dir):
     return out["xna"], out["dna"]
 
 
-def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir):
+SWA_EPOCH = 90  # pseudo-epoch id for the tail weight average (99 = best)
+
+
+def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir, seed: int,
+                          workdir: str):
     from xna_basecaller_tpu.cli.train import argparser, main as train_main
 
-    workdir = os.path.join(args.out, "spliced_model")
     if os.path.exists(os.path.join(
             workdir, f"weights_{args.epochs}.npz")):
-        log("> [C] spliced model fully trained, skipping")
-        return workdir
-    argv = [workdir, "--directory", dna_dir, "--xna-ctc-dir", xna_dir,
-            "--pretrained", boot_dir, "--stitch", "--ubs", "XY",
-            "--ub-prop", str(args.ub_prop),
-            "--freeze-bottom", "--unfreeze-top", str(args.unfreeze_top),
-            "--epochs", str(args.epochs), "--batch", str(args.batch),
-            "--lr", str(args.lr), "-f"]
-    log(f"> [C] spliced training: {' '.join(argv)}")
-    train_main(argparser().parse_args(argv))
+        log(f"> [C] spliced model (seed {seed}) fully trained, skipping")
+    else:
+        argv = [workdir, "--directory", dna_dir, "--xna-ctc-dir", xna_dir,
+                "--pretrained", boot_dir, "--stitch", "--ubs", "XY",
+                "--ub-prop", str(args.ub_prop),
+                "--freeze-bottom", "--unfreeze-top", str(args.unfreeze_top),
+                "--epochs", str(args.epochs), "--batch", str(args.batch),
+                "--lr", str(args.lr), "--seed", str(seed), "-f"]
+        log(f"> [C] spliced training: {' '.join(argv)}")
+        train_main(argparser().parse_args(argv))
+    if args.swa:
+        _write_swa_checkpoint(args, workdir)
     return workdir
 
 
-def phase_d_validate(args, workdir):
+def _write_swa_checkpoint(args, workdir):
+    """Tail weight averaging (SWA): mean of the last half of the epoch
+    checkpoints, saved as weights_90.npz so phase D validates it as just
+    another candidate — selection stays honest (val err_only_ub picks it
+    only if it actually wins).  Under the warmup-cosine schedule the tail
+    epochs sit at low LR, the regime where averaging flattens the noise
+    of per-epoch SGD endpoints (training stochasticity dominated the
+    r08-r10 run-to-run spread)."""
+    import jax
+
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    out = os.path.join(workdir, f"weights_{SWA_EPOCH}.npz")
+    if os.path.exists(out):
+        log("> [C] SWA checkpoint exists, skipping")
+        return
+    tail = list(range(args.epochs // 2 + 1, args.epochs + 1))
+    paths = [os.path.join(workdir, f"weights_{e}.npz") for e in tail]
+    paths = [p for p in paths if os.path.exists(p)]
+    if len(paths) < 2:
+        log("> [C] SWA: <2 tail checkpoints, skipping")
+        return
     from xna_basecaller_tpu.core import config as config_lib
-    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
+    from xna_basecaller_tpu.models.crf_model import init_params
+    template = init_params(jax.random.key(0), config_lib.load(workdir))
+    trees = [ckpt.load_tree(template, p) for p in paths]
+    mean = jax.tree.map(
+        lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
+        *trees)
+    ckpt.save_tree(mean, out)
+    log(f"> [C] SWA checkpoint: mean of epochs {tail} -> weights_{SWA_EPOCH}")
+
+
+def _sim_heldout(refs, g, n):
+    from xna_basecaller_tpu.data.simulate import sim_library_reads
+    return sim_library_reads(refs, g, n, True, "heldout",
+                             read_len_chunks=1)
+
+
+def make_eval_reads(args, refs):
+    """Fixed eval read sets, shared across epochs AND seeds (identical
+    val reads make the cross-seed selection comparable)."""
+    from xna_basecaller_tpu.data.simulate import sim_library_reads
+
+    rng = np.random.default_rng(777)
+    val_reads = list(_sim_heldout(refs, rng, args.val_reads))
+    test_reads = list(_sim_heldout(refs, rng, args.test_reads))
+    # matched in-distribution test set for the circularity comparison
+    rng2 = np.random.default_rng(778)
+    test_reads_ind = list(sim_library_reads(
+        refs, rng2, args.test_reads, True, "default", read_len_chunks=1))
+    return val_reads, test_reads, test_reads_ind
+
+
+def phase_d_validate(args, workdir, val_reads):
+    """Per-epoch validation of one spliced workdir; returns
+    (best_epoch, best val err_only_ub)."""
+    from xna_basecaller_tpu.core import config as config_lib
     from xna_basecaller_tpu.infer.basecall import run_basecaller
     from xna_basecaller_tpu.models.crf_model import Model
     from xna_basecaller_tpu.tools.train_and_eval import run_ub_validation
     from xna_basecaller_tpu.train import checkpoint as ckpt
 
-    refs = XnaRefs(args.exp)
     cfg = config_lib.load(workdir)
     model = Model(cfg)
-
-    from xna_basecaller_tpu.data.simulate import sim_library_reads
-
-    def _sim(r, g, n):
-        return sim_library_reads(r, g, n, True, "heldout",
-                                 read_len_chunks=1)
-
-    # held-out-regime eval reads, fixed across epochs
-    rng = np.random.default_rng(777)
-    val_reads = list(_sim(refs, rng, args.val_reads))
-    test_reads = list(_sim(refs, rng, args.test_reads))
-    # matched in-distribution test set for the circularity comparison
-    rng2 = np.random.default_rng(778)
-    test_reads_ind = list(sim_library_reads(
-        refs, rng2, args.test_reads, True, "default", read_len_chunks=1))
 
     import re
     from glob import glob
@@ -250,10 +294,23 @@ def phase_d_validate(args, workdir):
             f"{time.time() - t0:.0f}s ({stats['samples_per_s']:.2E} sps)")
     best = run_ub_validation(workdir, args.exp, ubs="XY",
                              fastq_per_epoch=fastq_per_epoch, log=log)
-    log(f"> [D] best epoch: {best}")
+    best_err = float("inf")
+    if best is not None:
+        from xna_basecaller_tpu.tools.consolidate_ub_validation import (
+            collect_epoch_summaries,
+        )
+        df = collect_epoch_summaries(workdir, exp=args.exp, split="val")
+        best_err = float(df.loc[best, "err_only_ub"])
+    log(f"> [D] best epoch: {best} (val err_only_ub {best_err:.2f})")
+    return best, best_err
 
-    # test eval with the best checkpoint, held-out + in-distribution
+
+def phase_e_test(args, workdir, test_reads, test_reads_ind):
+    """Test eval of the winning workdir's best (weights_99) checkpoint:
+    held-out + in-distribution (+ POC cross-library for CPLX)."""
+    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
     from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
+
     results = {}
     evals = [(args.exp, "test", test_reads),
              (args.exp, "test-ind", test_reads_ind)]
@@ -262,7 +319,7 @@ def phase_d_validate(args, workdir):
         # library too (train_and_eval.sh -E POC, README.md:108)
         poc_refs = XnaRefs("POC")
         rng3 = np.random.default_rng(779)
-        poc_reads = list(_sim(poc_refs, rng3, args.test_reads))
+        poc_reads = list(_sim_heldout(poc_refs, rng3, args.test_reads))
         evals.append(("POC", "test", poc_reads))
     for exp, tag, reads in evals:
         key = tag if exp == args.exp else f"{exp}-{tag}"
@@ -270,7 +327,7 @@ def phase_d_validate(args, workdir):
             workdir, reads, exp, tag, weights="99",
             batchsize=args.batch, ubs="XY",
             out_dir=os.path.join(workdir, f"basecalls-{key}"), log=log)
-    return best, results
+    return results
 
 
 def main():
@@ -305,6 +362,15 @@ def main():
                         "decay over spliced epochs")
     p.add_argument("--jitter", action="store_true",
                    help="domain-randomise the bootstrap-data signal regime")
+    p.add_argument("--seeds", default="25",
+                   help="comma-separated training seeds; phase C trains "
+                        "one spliced model per seed on the SAME data and "
+                        "phase D selects the winner by val err_only_ub "
+                        "(r08-r10 showed run-to-run training noise of "
+                        "~1.5pp dominating every knob)")
+    p.add_argument("--swa", action="store_true",
+                   help="add a tail-weight-average checkpoint per seed as "
+                        "an extra validation candidate")
     p.add_argument("--val-reads", type=int, default=300)
     p.add_argument("--val-every", type=int, default=1,
                    help="validate every k-th epoch checkpoint (plus the last)")
@@ -330,11 +396,42 @@ def main():
     t0 = time.time()
     boot_dir = phase_a_bootstrap(args, cfg_dir)
     xna_dir, dna_dir = phase_b_bootstrap_data(args, boot_dir)
-    workdir = phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir)
-    best, results = phase_d_validate(args, workdir)
+
+    from xna_basecaller_tpu.eval.xna_refs import XnaRefs
+    val_reads, test_reads, test_reads_ind = make_eval_reads(
+        args, XnaRefs(args.exp))
+
+    seeds = [int(s) for s in str(args.seeds).split(",") if s.strip()]
+    candidates = []  # (val err_only_ub, seed, workdir, best_epoch)
+    for seed in seeds:
+        workdir = (os.path.join(args.out, "spliced_model") if len(seeds) == 1
+                   else os.path.join(args.out, f"spliced_model_s{seed}"))
+        phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir, seed,
+                              workdir)
+        best, best_err = phase_d_validate(args, workdir, val_reads)
+        candidates.append((best_err, seed, workdir, best))
+        log(f"> seed {seed}: best epoch {best} "
+            f"(val err_only_ub {best_err:.2f})")
+    best_err, win_seed, workdir, best = min(candidates)
+    log(f"> WINNER: seed {win_seed} epoch {best} "
+        f"(val err_only_ub {best_err:.2f})")
+    if best is None:
+        # no validation summary anywhere (e.g. micro smoke runs where
+        # nothing aligns): fall back to the winner's last epoch so the
+        # test phase still runs end-to-end
+        best = args.epochs
+        link = os.path.join(workdir, "weights_99.npz")
+        if not os.path.exists(link):
+            os.symlink(f"weights_{best}.npz", link)
+        log(f"> [WARNING] no val summaries; testing last epoch {best}")
+    results = phase_e_test(args, workdir, test_reads, test_reads_ind)
 
     summary = {
-        "exp": args.exp, "best_epoch": best,
+        "exp": args.exp, "best_epoch": best, "best_seed": win_seed,
+        "val_err_only_ub": best_err,
+        "seed_candidates": [
+            {"seed": s, "best_epoch": b, "val_err_only_ub": e}
+            for e, s, _, b in sorted(candidates)],
         "wall_seconds": int(time.time() - t0),
     }
     for key, vals in results.items():

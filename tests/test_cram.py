@@ -111,6 +111,26 @@ def test_roundtrip_tags_and_read_group(tmp_path):
     assert got[2]["tags"] == ["RG:Z:grp1", "mx:Z:2", "ch:Z:8"]
 
 
+def test_roundtrip_binary_typed_tags(tmp_path):
+    """Non-Z tags (mods MM/ML style, i/f/A/B) carry BAM binary typing in
+    the tag stream — the TD dictionary declares the real type code, so a
+    spec-conformant reader decodes by it (ADVICE r3)."""
+    tags = ["mv:B:c,5,1,0,1", "ML:B:C,3,250,128", "qs:i:-42",
+            "du:f:1.5", "st:A:+", "fn:Z:file.fast5"]
+    recs = [("r1", "ACGT", "IIII", None, tags)]
+    path = _write(tmp_path, recs)
+    _, got = cram.read_cram(path)
+    assert got[0]["tags"] == tags
+
+    # codec level: int32/float/typed-array byte layouts per the BAM spec
+    assert cram._tag_value_bytes("i", "-42") == (-42).to_bytes(
+        4, "little", signed=True)
+    assert cram._tag_value_bytes("B", "C,3,250,128") == (
+        b"C" + (3).to_bytes(4, "little") + bytes([3, 250, 128]))
+    assert cram._tag_value_str(
+        "B", cram._tag_value_bytes("B", "s,-7,300")) == "s,-7,300"
+
+
 def test_roundtrip_multiple_containers(tmp_path):
     recs = [(f"r{i}", "ACGT" * (i % 7 + 1), "!" * 4 * (i % 7 + 1))
             for i in range(37)]

@@ -33,14 +33,18 @@ def _bound_tunnel_journal():
 
     This setdefault is BEST-EFFORT: the plugin registers at interpreter
     start (sitecustomize) and can capture its env before this import
-    runs.  Entry points call
-    utils.platform.ensure_tunnel_journal_compact(), which re-execs with
-    the variable guaranteed in the startup env; long-run shells should
-    export AXON_JOURNAL_COMPACT=1 (run_supervised.sh does).  Opt out
-    with XNACALL_NO_JOURNAL_COMPACT=1."""
+    runs.  When the variable was NOT already in the startup env, the
+    _XNACALL_JC_SETDEFAULT marker records that it was this import (not
+    the launcher) that set it, so
+    utils.platform.ensure_tunnel_journal_compact() knows a re-exec is
+    still required to get it into the TRUE startup env; long-run shells
+    should export AXON_JOURNAL_COMPACT=1 (run_supervised.sh does).  Opt
+    out with XNACALL_NO_JOURNAL_COMPACT=1."""
     if os.environ.get("XNACALL_NO_JOURNAL_COMPACT"):
         return
-    os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
+    if "AXON_JOURNAL_COMPACT" not in os.environ:
+        os.environ["AXON_JOURNAL_COMPACT"] = "1"
+        os.environ["_XNACALL_JC_SETDEFAULT"] = "1"
 
 
 _bound_tunnel_journal()

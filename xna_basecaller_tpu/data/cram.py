@@ -233,6 +233,53 @@ def _byte_array_len_encoding(cid: int) -> bytes:
     return itf8_encode(4) + itf8_encode(len(args)) + args
 
 
+_B_SUBTYPE_FMT = {"c": "b", "C": "B", "s": "h", "S": "H",
+                  "i": "i", "I": "I", "f": "f"}
+
+
+def _tag_value_bytes(vtype: str, val: str) -> bytes:
+    """SAM-text tag value -> BAM binary typing (SAM spec §4.2.4): CRAM
+    tag streams carry BAM-typed bytes, and the TD dictionary declares the
+    real type code — a spec-conformant reader (htslib/pysam) decodes by
+    that code, so e.g. an ML:B:C,... array must be a typed array, not
+    NUL-terminated ASCII."""
+    if vtype in ("Z", "H"):
+        return val.encode() + b"\x00"
+    if vtype == "A":
+        return val.encode()[:1]
+    if vtype == "i":
+        return struct.pack("<i", int(val))
+    if vtype == "f":
+        return struct.pack("<f", float(val))
+    if vtype == "B":
+        parts = val.split(",")
+        sub, items = parts[0], parts[1:]
+        fmt = _B_SUBTYPE_FMT[sub]
+        conv = float if sub == "f" else int
+        return (sub.encode() + struct.pack("<i", len(items))
+                + struct.pack("<%d%s" % (len(items), fmt),
+                              *[conv(x) for x in items]))
+    raise ValueError(f"unsupported SAM tag type {vtype!r}")
+
+
+def _tag_value_str(vtype: str, raw: bytes) -> str:
+    """Inverse of _tag_value_bytes: BAM-typed bytes -> SAM text value."""
+    if vtype in ("Z", "H"):
+        return raw[:-1].decode()
+    if vtype == "A":
+        return raw[:1].decode()
+    if vtype == "i":
+        return str(struct.unpack("<i", raw[:4])[0])
+    if vtype == "f":
+        return str(struct.unpack("<f", raw[:4])[0])
+    if vtype == "B":
+        sub = chr(raw[0])
+        n = struct.unpack("<i", raw[1:5])[0]
+        vals = struct.unpack("<%d%s" % (n, _B_SUBTYPE_FMT[sub]), raw[5:])
+        return ",".join([sub] + [str(v) for v in vals])
+    raise ValueError(f"unsupported SAM tag type {vtype!r}")
+
+
 def compression_header(tag_lines: list[bytes],
                        tag_keys: list[bytes]) -> bytes:
     pres = [
@@ -345,8 +392,7 @@ class CramWriter:
             else:
                 streams["QS"] += b"\xff" * len(seq)
             for k, vtype, val in tag_list:
-                data = val.encode() + b"\x00" if vtype == "Z" \
-                    else str(val).encode() + b"\x00"
+                data = _tag_value_bytes(vtype, val)
                 tag_stream += itf8_encode(len(data)) + data
             n_bases += len(seq)
 
@@ -491,7 +537,7 @@ def read_cram(path: str):
                 raw = ext[CID_TAGS][cursors[CID_TAGS]:
                                     cursors[CID_TAGS] + dlen]
                 cursors[CID_TAGS] += dlen
-                tags.append(f"{tag}:{vtype}:{raw[:-1].decode()}")
+                tags.append(f"{tag}:{vtype}:{_tag_value_str(vtype, raw)}")
             records.append({"read_id": read_id, "seq": seq,
                             "qstring": qstring, "tags": tags})
     return header_text, records

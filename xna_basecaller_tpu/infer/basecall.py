@@ -79,6 +79,30 @@ def _score_and_decode(scores, n_base: int, state_len: int,
     return paths.astype(jnp.int8)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_base", "state_len", "reverse",
+                                   "compute_dtype", "lstm_int8"))
+def _super_forward_decode(params, dev, cfg, n_base: int, state_len: int,
+                          reverse: bool, compute_dtype, lstm_int8: bool):
+    """ONE device execution over a [G, N, T] superbatch -> paths [G, N, T'].
+
+    lax.map serialises the G sub-batches inside the dispatch, so only one
+    sub-batch's [T, N, C] float32 score tensor (~1 GB at N=256 for the
+    flagship head) is ever live — reshaping to [G*N, T] instead stacked G
+    of them plus decode workspace and exhausted a 16 GB chip at G=4.  The
+    dispatch-count saving (the point of superbatching through the
+    tunneled runtime, which pays fixed client cost per execution) is
+    identical either way.
+    """
+    from xna_basecaller_tpu.models.crf_model import forward
+
+    def one(batch):
+        sc = forward(params, batch, cfg, compute_dtype, inference=True,
+                     lstm_int8=lstm_int8)
+        return _score_and_decode(sc, n_base, state_len, reverse)
+
+    return jax.lax.map(one, dev)
+
+
 def compute_scores(model, params, batch, reverse: bool = False,
                    compute_dtype=jnp.bfloat16):
     """Run the network + decode for one padded batch.
@@ -161,6 +185,10 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     # matmuls, and G-fold fewer executions — which matters through the
     # tunneled runtime, where each execution pays fixed client-side cost)
     G = max(1, int(superbatch)) if not (qscores or beam_width > 0) else 1
+    if G != max(1, int(superbatch)):
+        import sys
+        print(f"[basecall] --superbatch {superbatch} ignored (runs as 1): "
+              "qscores/beam decoding is not superbatched", file=sys.stderr)
 
     def gen_uploads():
         # dedicated H2D stage: pad to the fixed shape, cast to f16 (half
@@ -199,10 +227,19 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
         # drain device->host in the fetch stage below
         for keys_g, n_g, dev in uploads:
             g, N, T = dev.shape
+            if g > 1:
+                # superbatch: one dispatch, sub-batches serialised in-jit
+                # (lax.map) so HBM holds one score tensor at a time
+                paths = _super_forward_decode(
+                    params, dev, model.cfg, model.seqdist.n_base,
+                    model.seqdist.state_len, reverse, compute_dtype,
+                    quantize)
+                yield keys_g, n_g, N, paths, None
+                continue
             # quantize also switches the fused LSTM recurrence to int8
             # weights/hidden (reference util.py:304-309: --quantize selects
             # the koi int8 graph), doubling the MXU rate on v5e
-            sc = model.apply(params, dev.reshape(g * N, T),
+            sc = model.apply(params, dev[0],
                              compute_dtype=compute_dtype,
                              lstm_int8=quantize)
             if qscores:
@@ -226,6 +263,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
     def gen_fetch():
         for keys_g, n_g, N, paths, probs in computed:
             p_host = np.asarray(paths)
+            if p_host.ndim == 3:  # superbatch [G, N, T'] -> [G*N, T']
+                p_host = p_host.reshape(-1, p_host.shape[-1])
             q_host = None if probs is None else np.asarray(probs)
             for gi, (keys, n) in enumerate(zip(keys_g, n_g)):
                 if not keys:
