@@ -305,12 +305,17 @@ def phase_d_validate(args, workdir, val_reads):
     return best, best_err
 
 
-def phase_e_test(args, workdir, test_reads, test_reads_ind):
+def phase_e_test(args, workdir, test_reads, test_reads_ind,
+                 out_base: str | None = None):
     """Test eval of the winning workdir's best (weights_99) checkpoint:
-    held-out + in-distribution (+ POC cross-library for CPLX)."""
+    held-out + in-distribution (+ POC cross-library for CPLX).
+    ``workdir`` may be a list of dirs (seed ensemble); ``out_base`` then
+    roots the basecall output dirs."""
     from xna_basecaller_tpu.eval.xna_refs import XnaRefs
     from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
 
+    if out_base is None:
+        out_base = workdir if isinstance(workdir, str) else workdir[0]
     results = {}
     evals = [(args.exp, "test", test_reads),
              (args.exp, "test-ind", test_reads_ind)]
@@ -326,7 +331,7 @@ def phase_e_test(args, workdir, test_reads, test_reads_ind):
         results[key] = basecall_and_eval(
             workdir, reads, exp, tag, weights="99",
             batchsize=args.batch, ubs="XY",
-            out_dir=os.path.join(workdir, f"basecalls-{key}"), log=log)
+            out_dir=os.path.join(out_base, f"basecalls-{key}"), log=log)
     return results
 
 
@@ -368,6 +373,9 @@ def main():
                         "phase D selects the winner by val err_only_ub "
                         "(r08-r10 showed run-to-run training noise of "
                         "~1.5pp dominating every knob)")
+    p.add_argument("--no-ensemble", action="store_true",
+                   help="skip the cross-seed score-averaging ensemble "
+                        "candidate")
     p.add_argument("--swa", action="store_true",
                    help="add a tail-weight-average checkpoint per seed as "
                         "an extra validation candidate")
@@ -412,7 +420,28 @@ def main():
         candidates.append((best_err, seed, workdir, best))
         log(f"> seed {seed}: best epoch {best} "
             f"(val err_only_ub {best_err:.2f})")
+    # ensemble candidate: score-averaged decode over every seed's best
+    # checkpoint, judged on the SAME val reads as the single seeds
+    ens_dirs = [w for e, s, w, b in candidates
+                if np.isfinite(e) and b is not None]
+    ens_err = float("inf")
+    ens_base = os.path.join(args.out, "ensemble")
+    if len(ens_dirs) > 1 and not args.no_ensemble:
+        from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
+        summ = basecall_and_eval(
+            ens_dirs, val_reads, args.exp, "val", weights="99",
+            batchsize=args.batch, ubs="XY",
+            out_dir=os.path.join(ens_base, "basecalls-val"), log=log)
+        ens_err = float(summ.get("err_only_ub", float("inf")))
+        log(f"> ensemble({len(ens_dirs)} seeds): "
+            f"val err_only_ub {ens_err:.2f}")
+
     best_err, win_seed, workdir, best = min(candidates)
+    out_base = None
+    if ens_err < best_err:
+        best_err, win_seed, workdir, best = (
+            ens_err, "ensemble", ens_dirs, 99)
+        out_base = ens_base
     log(f"> WINNER: seed {win_seed} epoch {best} "
         f"(val err_only_ub {best_err:.2f})")
     if best is None:
@@ -424,7 +453,8 @@ def main():
         if not os.path.exists(link):
             os.symlink(f"weights_{best}.npz", link)
         log(f"> [WARNING] no val summaries; testing last epoch {best}")
-    results = phase_e_test(args, workdir, test_reads, test_reads_ind)
+    results = phase_e_test(args, workdir, test_reads, test_reads_ind,
+                           out_base=out_base)
 
     summary = {
         "exp": args.exp, "best_epoch": best, "best_seed": win_seed,

@@ -1,0 +1,93 @@
+"""Checkpoint-ensemble decoding (score-averaging product-of-experts):
+an accuracy feature beyond the reference (one model per basecall there,
+crf/basecall.py:96-119)."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+from xna_basecaller_tpu.data.simulate import simulate_reads
+from xna_basecaller_tpu.infer.basecall import run_basecaller
+from xna_basecaller_tpu.models.crf_model import Model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ModelConfig(encoder=EncoderConfig(features=64, num_rnn_layers=2))
+    model = Model(cfg)
+    p1 = model.init(jax.random.key(0))
+    p2 = model.init(jax.random.key(1))
+    reads = list(simulate_reads(4, mean_len=8000, seed=3))
+    return model, p1, p2, reads
+
+
+def _fastq(model, params, reads, **kw):
+    fq = io.StringIO()
+    stats = run_basecaller(model, params, iter(reads), fq, None,
+                           chunksize=2000, overlap=400, batchsize=4, **kw)
+    return fq.getvalue(), stats
+
+
+def test_self_ensemble_equals_single(tiny):
+    """Averaging the same checkpoint twice must not change any decode
+    (the mean of identical scores is the scores)."""
+    model, p1, _, reads = tiny
+    one, _ = _fastq(model, p1, reads)
+    two, _ = _fastq(model, [p1, p1], reads)
+    assert one == two
+
+
+def test_ensemble_runs_and_differs_from_members(tiny):
+    model, p1, p2, reads = tiny
+    a, _ = _fastq(model, p1, reads)
+    b, _ = _fastq(model, p2, reads)
+    ab, stats = _fastq(model, [p1, p2], reads)
+    assert stats["reads"] == len(reads)
+    assert ab.count("@") == len(reads)
+    # two random inits decode differently; their product-of-experts is a
+    # third decoding (not trivially one of the members)
+    assert a != b
+    assert ab != a or ab != b
+
+
+def test_ensemble_superbatch_matches_unsuperbatched(tiny):
+    """The lax.map superbatch path must produce identical ensemble
+    sequences (same scores, same decode)."""
+    model, p1, p2, reads = tiny
+    plain, _ = _fastq(model, [p1, p2], reads)
+    sup, _ = _fastq(model, [p1, p2], reads, superbatch=2)
+    assert plain == sup
+
+
+def test_basecall_and_eval_accepts_workdir_list(tmp_path):
+    """tools.eval_model.basecall_and_eval loads an ensemble from a list
+    of model dirs (same architecture)."""
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=64, num_rnn_layers=2))
+    dirs = []
+    for i in (0, 1):
+        d = tmp_path / f"m{i}"
+        d.mkdir()
+        config_lib.save(cfg, str(d))
+        ckpt.save_tree(init_params(jax.random.key(i), cfg),
+                       str(d / "weights_99.npz"))
+        dirs.append(str(d))
+    from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
+    reads = list(simulate_reads(3, mean_len=6000, seed=5))
+    out = tmp_path / "bc"
+    # random weights rarely align; the eval raising on zero alignments is
+    # acceptable — the ensemble load + basecall path is what's under test
+    try:
+        basecall_and_eval(dirs, reads, "POC", "val", weights="99",
+                          batchsize=4, ubs="XY", out_dir=str(out),
+                          log=lambda *a: None)
+    except RuntimeError:
+        pass
+    fq = out / "reads-POC-val.fastq"
+    assert fq.exists() and fq.read_text().count("@") == 3

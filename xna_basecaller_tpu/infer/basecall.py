@@ -79,6 +79,24 @@ def _score_and_decode(scores, n_base: int, state_len: int,
     return paths.astype(jnp.int8)
 
 
+def _apply_maybe_ensemble(model, params, batch, compute_dtype,
+                          lstm_int8: bool):
+    """Forward one batch through one param tree — or, when ``params`` is
+    a list/tuple of trees, through each and return the MEAN of the f32
+    CRF scores (a product-of-experts over the per-model CRF
+    distributions; per-model logZ offsets are per-sample constants, so
+    averaging unnormalised scores changes no Viterbi argmax vs averaging
+    normalised ones).  Checkpoint ensembling is an accuracy feature this
+    framework adds over the reference (one model per basecall there)."""
+    trees = params if isinstance(params, (list, tuple)) else (params,)
+    sc = model.apply(trees[0], batch, compute_dtype=compute_dtype,
+                     lstm_int8=lstm_int8)
+    for p in trees[1:]:
+        sc = sc + model.apply(p, batch, compute_dtype=compute_dtype,
+                              lstm_int8=lstm_int8)
+    return sc / len(trees) if len(trees) > 1 else sc
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_base", "state_len", "reverse",
                                    "compute_dtype", "lstm_int8"))
 def _super_forward_decode(params, dev, cfg, n_base: int, state_len: int,
@@ -95,9 +113,16 @@ def _super_forward_decode(params, dev, cfg, n_base: int, state_len: int,
     """
     from xna_basecaller_tpu.models.crf_model import forward
 
+    trees = params if isinstance(params, (list, tuple)) else (params,)
+
     def one(batch):
-        sc = forward(params, batch, cfg, compute_dtype, inference=True,
+        sc = forward(trees[0], batch, cfg, compute_dtype, inference=True,
                      lstm_int8=lstm_int8)
+        for p in trees[1:]:  # ensemble: mean of CRF scores (see
+            sc = sc + forward(p, batch, cfg, compute_dtype,  # _apply_maybe_ensemble)
+                              inference=True, lstm_int8=lstm_int8)
+        if len(trees) > 1:
+            sc = sc / len(trees)
         return _score_and_decode(sc, n_base, state_len, reverse)
 
     return jax.lax.map(one, dev)
@@ -239,9 +264,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
             # quantize also switches the fused LSTM recurrence to int8
             # weights/hidden (reference util.py:304-309: --quantize selects
             # the koi int8 graph), doubling the MXU rate on v5e
-            sc = model.apply(params, dev[0],
-                             compute_dtype=compute_dtype,
-                             lstm_int8=quantize)
+            sc = _apply_maybe_ensemble(model, params, dev[0],
+                                       compute_dtype, quantize)
             if qscores:
                 paths, probs = _score_and_decode_qual(
                     sc, model.seqdist.n_base, model.seqdist.state_len,

@@ -109,6 +109,11 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
 
     The checkpoint-load -> basecall -> eval chain shared by the
     north-star and quick-run drivers (reference eval_model.sh:94-163).
+
+    ``workdir`` may be a LIST of model dirs (same architecture): their
+    checkpoints are decoded as a score-averaging ensemble
+    (infer.basecall._apply_maybe_ensemble) — an accuracy feature beyond
+    the reference.
     """
     import jax
 
@@ -117,12 +122,15 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
     from xna_basecaller_tpu.models.crf_model import Model, init_params
     from xna_basecaller_tpu.train import checkpoint as ckpt
 
-    cfg = config_lib.load(workdir)
+    workdirs = workdir if isinstance(workdir, (list, tuple)) else [workdir]
+    cfg = config_lib.load(workdirs[0])
     model = Model(cfg)
-    params = ckpt.load_tree(
-        init_params(jax.random.key(0), cfg),
-        os.path.join(workdir, f"weights_{weights}.npz"))
-    out_dir = out_dir or os.path.join(workdir, f"basecalls-{split}")
+    template = init_params(jax.random.key(0), cfg)
+    trees = [ckpt.load_tree(template,
+                            os.path.join(w, f"weights_{weights}.npz"))
+             for w in workdirs]
+    params = trees if len(trees) > 1 else trees[0]
+    out_dir = out_dir or os.path.join(workdirs[0], f"basecalls-{split}")
     os.makedirs(out_dir, exist_ok=True)
     fq = os.path.join(out_dir, f"reads-{exp}-{split}.fastq")
     if not (os.path.exists(fq) and os.path.getsize(fq)):
