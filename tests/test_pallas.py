@@ -121,6 +121,41 @@ def test_trainable_pallas_lstm_grads_match_scan():
         pl.pallas_call = orig
 
 
+def test_trainable_pallas_lstm_odd_T_pad_path():
+    """Odd T exercises the unroll padding in _pallas_fwd_with_cells:
+    values and grads must still match the scan oracle."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        H, T, N = 32, 11, 2
+        p = init_lstm_params(jax.random.key(4), H, H)
+        x = jax.random.normal(jax.random.key(5), (T, N, H), jnp.float32)
+        dy_seed = jax.random.normal(jax.random.key(6), (T, N, H),
+                                    jnp.float32)
+        y1 = lstm_pallas.lstm_forward_pallas_trainable(p, x)
+        y2 = lstm_forward(p, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=2e-3, atol=2e-4)
+        g1 = jax.grad(lambda p, x: jnp.sum(
+            lstm_pallas.lstm_forward_pallas_trainable(p, x) * dy_seed),
+            argnums=(0, 1))(p, x)
+        g2 = jax.grad(lambda p, x: jnp.sum(
+            lstm_forward(p, x) * dy_seed), argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+    finally:
+        pl.pallas_call = orig
+
+
 def test_int8_lstm_pallas_matches_quantized_oracle():
     """int8 recurrence kernel (koi --quantize parity): bit-exact against a
     plain-JAX oracle of the same quantized math, and close to the f32

@@ -265,56 +265,69 @@ def lstm_stack_forward_pallas_int8(layers, directions, x):
 # ---------------------------------------------------------------------------
 # Trainable variant: fused forward kernel + analytic backward (custom VJP)
 
-def _lstm_fwd_cells_kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
-    """Like _lstm_scan_kernel but also emits the cell states (backward
-    residuals).  One timestep per grid step (VMEM budget)."""
-    t = pl.program_id(1)
+def _make_fwd_cells_kernel(unroll: int):
+    def kernel(xp_ref, whh_ref, y_ref, c_out_ref, h_ref, c_ref):
+        """Like _make_scan_kernel but also emits the cell states
+        (backward residuals), ``unroll`` timesteps per grid step."""
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+        @pl.when(t == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
-    h = h_ref[:]
-    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(whh_ref.dtype), whh_ref[:],
-        preferred_element_type=jnp.float32)
-    H = h.shape[1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    c = f * c_ref[:] + i * g
-    h_new = (o * jnp.tanh(c)).astype(h_ref.dtype)
-    c_ref[:] = c
-    h_ref[:] = h_new
-    y_ref[0] = h_new.astype(y_ref.dtype)
-    c_out_ref[0] = c.astype(c_out_ref.dtype)
+        h = h_ref[:]
+        c = c_ref[:]
+        H = h.shape[1]
+        for u in range(unroll):
+            gates = xp_ref[u].astype(jnp.float32) + jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = (o * jnp.tanh(c)).astype(h_ref.dtype)
+            y_ref[u] = h.astype(y_ref.dtype)
+            c_out_ref[u] = c.astype(c_out_ref.dtype)
+        h_ref[:] = h
+        c_ref[:] = c
+    return kernel
 
 
-def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None):
+def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None,
+                           unroll: int = UNROLL):
     T, N, H4 = xp.shape
     H = H4 // 4
-    BN = block_n or _auto_block_n(N)
+    pad = (-T) % unroll
+    if pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
+    Tp = T + pad
+    # U=2 doubles the per-step xp/y/c_out block residency: BN=128 keeps
+    # the double-buffered working set inside the ~16MB VMEM budget
+    # (BN=256 fits only at U=1).
+    BN = block_n or _auto_block_n(N, cap=256 if unroll == 1 else 128)
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
-    return pl.pallas_call(
-        _lstm_fwd_cells_kernel,
-        grid=(N // BN, T),
+    ys, cs = pl.pallas_call(
+        _make_fwd_cells_kernel(unroll),
+        grid=(N // BN, Tp // unroll),
         in_specs=[
-            pl.BlockSpec((1, BN, H4), lambda b, t: (t, b, 0),
+            pl.BlockSpec((unroll, BN, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BN, H), lambda b, t: (t, b, 0),
+            pl.BlockSpec((unroll, BN, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN, H), lambda b, t: (t, b, 0),
+            pl.BlockSpec((unroll, BN, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, N, H), xp.dtype),
-            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, N, H), xp.dtype),
+            jax.ShapeDtypeStruct((Tp, N, H), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((BN, H), h_dtype),
@@ -323,6 +336,7 @@ def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_hh)
+    return (ys[:T], cs[:T]) if pad else (ys, cs)
 
 
 def _lstm_bwd_kernel(dy_ref, ysp_ref, csp_ref, cs_ref, xp_ref, whh_ref,
