@@ -23,10 +23,19 @@ def main(args):
     from xna_basecaller_tpu.utils.model_io import load_model
 
     sys.stderr.write(f"> loading model {args.model_directory}\n")
+    # comma-separated dirs decode as a score-averaging checkpoint
+    # ensemble (infer.basecall._apply_maybe_ensemble)
+    model_dirs = args.model_directory.split(",")
     model, params, cfg = load_model(
-        args.model_directory, weights=args.weights or None,
+        model_dirs[0], weights=args.weights or None,
         chunksize=args.chunksize, batchsize=args.batchsize,
         overlap=args.overlap)
+    if len(model_dirs) > 1:
+        params = [params] + [
+            load_model(d, weights=args.weights or None,
+                       chunksize=args.chunksize, batchsize=args.batchsize,
+                       overlap=args.overlap)[1]
+            for d in model_dirs[1:]]
 
     targets = None
     if args.reference:
@@ -75,7 +84,7 @@ def main(args):
     # <run_id>_<model>; run_id is per-read here, so the stable part)
     import os
     read_group = args.read_group or os.path.basename(
-        os.path.normpath(args.model_directory))
+        os.path.normpath(model_dirs[0]))
     sam = None
     if args.sam and targets is not None:
         sam = SamWriter(sys.stdout, targets, read_group=read_group)
@@ -199,7 +208,10 @@ def argparser():
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
         add_help=False)
-    parser.add_argument("model_directory")
+    parser.add_argument(
+        "model_directory",
+        help="model dir; a comma-separated list decodes as a "
+             "score-averaging checkpoint ensemble")
     parser.add_argument("reads_directory")
     parser.add_argument("--reference", default=None,
                         help="reference fasta for alignment")
