@@ -92,35 +92,53 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
+    def _guard(name, fn, *a, **kw):
+        # a sub-benchmark failure (e.g. a transient tunnel/HBM hiccup)
+        # must not zero out the whole BENCH artifact — the headline
+        # passes above already succeeded (round-3's artifact was lost to
+        # exactly this)
+        try:
+            return fn(*a, **kw)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] {name} FAILED: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            return 0.0
+
     # int8 quantized inference (--quantize): int8 signal uploads + int8
     # LSTM recurrence — the reference's koi int8 graph equivalent.  A
     # validated production mode: accuracy parity on a trained model is
     # committed in results/northstar_cplx_r04/quantize_check/.
-    q_best = 0.0
-    for i in range(2):
-        q = run_basecaller(
-            model, params, iter(reads), io.StringIO(), None,
-            chunksize=chunksize, overlap=overlap, batchsize=batchsize,
-            quantize=True, superbatch=G)
-        q_best = max(q_best, q["samples_per_s"])
+    def _quantized():
+        q_best = 0.0
+        for i in range(2):
+            q = run_basecaller(
+                model, params, iter(reads), io.StringIO(), None,
+                chunksize=chunksize, overlap=overlap, batchsize=batchsize,
+                quantize=True, superbatch=G)
+            q_best = max(q_best, q["samples_per_s"])
+        return q_best
+
+    q_best = _guard("quantized", _quantized)
     print(f"[bench] quantized: {q_best:.2e} samples/s", file=sys.stderr)
 
     # Pure device compute (forward + fused decode, no host pipeline/IO):
     # the ceiling the pipeline is chasing (VERDICT round-1 weak #5 asked
     # for this number to be captured in the BENCH artifact).
-    device_sps = _pure_device_throughput(model, params, batchsize, chunksize)
+    device_sps = _guard("pure-device", _pure_device_throughput,
+                        model, params, batchsize, chunksize)
     print(f"[bench] pure device: {device_sps:.2e} samples/s", file=sys.stderr)
 
     # Training throughput: flagship step (fwd + CRF loss + bwd + AdamW) at
     # batch 128 (VERDICT round-1 item #2 asked for this line in BENCH).
-    train_sps = _train_throughput(model, params, cfg)
-    print(f"[bench] train step: {128 * 3600 / train_sps * 1e3:.0f} ms "
-          f"({train_sps:.2e} train samples/s)", file=sys.stderr)
+    train_sps = _guard("train", _train_throughput, model, params, cfg)
+    if train_sps:
+        print(f"[bench] train step: {128 * 3600 / train_sps * 1e3:.0f} ms "
+              f"({train_sps:.2e} train samples/s)", file=sys.stderr)
 
     # Device-side stitch augmentation throughput: the reference's spliced
     # training is CPU-worker-bound (README.md:116 recommends 32 workers);
     # here the splice runs as a jitted batch transform on the chip.
-    aug_sps = _augment_throughput()
+    aug_sps = _guard("stitch-augment", _augment_throughput)
     print(f"[bench] stitch augment: {aug_sps:.2e} samples/s",
           file=sys.stderr)
 
