@@ -206,6 +206,10 @@ def _write_swa_checkpoint(args, workdir):
 
     from xna_basecaller_tpu.train import checkpoint as ckpt
 
+    if args.epochs >= SWA_EPOCH:
+        log(f"> [C] SWA skipped: --epochs {args.epochs} collides with "
+            f"the SWA pseudo-epoch id {SWA_EPOCH}")
+        return
     out = os.path.join(workdir, f"weights_{SWA_EPOCH}.npz")
     if os.path.exists(out):
         log("> [C] SWA checkpoint exists, skipping")
@@ -266,13 +270,16 @@ def phase_d_validate(args, workdir, val_reads):
         int(m.group(1)) for f in glob(os.path.join(workdir, "weights_*.npz"))
         if (m := re.search(r"weights_(\d+)\.npz$", f))
         and not os.path.islink(f) and not f.endswith("weights_99.npz")})
-    # long trainings: validate a subset of checkpoints (always the last)
-    last = epochs[-1] if epochs else 0
+    # long trainings: validate a subset of checkpoints — always keep the
+    # last REAL training epoch (SWA's pseudo-epoch 90 must not shadow
+    # it) and always keep the SWA candidate itself
+    real = [e for e in epochs if e != SWA_EPOCH]
+    last = real[-1] if real else 0
     epochs = [e for e in epochs
-              if e >= args.val_from and (e % args.val_every == 0 or e == last)]
+              if e == SWA_EPOCH
+              or (e >= args.val_from
+                  and (e % args.val_every == 0 or e == last))]
     fastq_per_epoch = {}
-    template = model.init_template() if hasattr(model, "init_template") \
-        else None
     for epoch in epochs:
         out_dir = os.path.join(workdir, f"basecalls-weights_{epoch}")
         os.makedirs(out_dir, exist_ok=True)
@@ -425,7 +432,13 @@ def main():
     ens_dirs = [w for e, s, w, b in candidates
                 if np.isfinite(e) and b is not None]
     ens_err = float("inf")
-    ens_base = os.path.join(args.out, "ensemble")
+    # key the cache dir by ensemble membership AND each member's
+    # resolved best checkpoint, so a resumed run with different seeds
+    # or a moved weights_99 symlink can never reuse a stale decode
+    ens_tag = "-".join(
+        f"s{s}e{b}" for e, s, w, b in sorted(candidates, key=lambda c: c[1])
+        if np.isfinite(e) and b is not None)
+    ens_base = os.path.join(args.out, f"ensemble_{ens_tag}")
     if len(ens_dirs) > 1 and not args.no_ensemble:
         from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
         summ = basecall_and_eval(
@@ -456,12 +469,16 @@ def main():
     results = phase_e_test(args, workdir, test_reads, test_reads_ind,
                            out_base=out_base)
 
+    def _fin(x):  # inf -> null: keep the summary strict JSON
+        return x if isinstance(x, (int, str)) or np.isfinite(x) else None
+
     summary = {
         "exp": args.exp, "best_epoch": best, "best_seed": win_seed,
-        "val_err_only_ub": best_err,
+        "val_err_only_ub": _fin(best_err),
         "seed_candidates": [
-            {"seed": s, "best_epoch": b, "val_err_only_ub": e}
+            {"seed": s, "best_epoch": b, "val_err_only_ub": _fin(e)}
             for e, s, _, b in sorted(candidates)],
+        "ensemble_val_err_only_ub": _fin(ens_err),
         "wall_seconds": int(time.time() - t0),
     }
     for key, vals in results.items():

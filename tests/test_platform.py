@@ -25,7 +25,7 @@ SCRIPT = textwrap.dedent("""\
     )
     ensure_tunnel_journal_compact()
     print("compact=", os.environ.get("AXON_JOURNAL_COMPACT"),
-          "marker=", os.environ.get("_XNACALL_JC_SETDEFAULT"),
+          "marker=", 1 if xna_basecaller_tpu._JC_SETDEFAULT else None,
           "reexec=", os.environ.get("_XNACALL_JC_REEXEC"))
 """).format(repo=REPO)
 
@@ -72,3 +72,33 @@ def test_opt_out(tmp_path):
     got = _run({"PALLAS_AXON_POOL_IPS": "1.2.3.4",
                 "XNACALL_NO_JOURNAL_COMPACT": "1"}, tmp_path)
     assert got == "compact= None marker= None reexec= None"
+
+
+def test_children_of_non_reexeced_process_do_not_reexec(tmp_path):
+    """A process that imported the package without re-exec'ing (e.g. a
+    python -m entry point) passes AXON_JOURNAL_COMPACT=1 to children via
+    its os.environ — the children's startup env genuinely has it, so
+    they must NOT re-exec (the setdefault flag is per-process, never an
+    inherited env marker)."""
+    child = tmp_path / "entry.py"
+    child.write_text(SCRIPT)
+    parent = tmp_path / "parent.py"
+    parent.write_text(textwrap.dedent("""\
+        import os, subprocess, sys
+        sys.path.insert(0, {repo!r})
+        import xna_basecaller_tpu  # setdefaults the var in THIS process
+        out = subprocess.run(
+            [sys.executable, {child!r}], env=dict(os.environ),
+            capture_output=True, text=True, timeout=60)
+        sys.stdout.write(out.stdout)
+    """).format(repo=REPO, child=str(child)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("AXON_JOURNAL", "_XNACALL_JC",
+                                "PALLAS_AXON_POOL_IPS"))}
+    env.pop("XNACALL_NO_JOURNAL_COMPACT", None)
+    env["PALLAS_AXON_POOL_IPS"] = "1.2.3.4"
+    out = subprocess.run(
+        [sys.executable, str(parent)], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "compact= 1 marker= None reexec= None"

@@ -4,6 +4,11 @@ import os
 
 __version__ = "0.1.0"
 
+# True when THIS import (not the launcher) setdefaulted
+# AXON_JOURNAL_COMPACT — i.e. the true startup env lacked it (see
+# _bound_tunnel_journal / utils.platform.ensure_tunnel_journal_compact).
+_JC_SETDEFAULT = False
+
 
 def _enable_persistent_compile_cache():
     """First compiles of the Pallas kernels cost minutes through a remote
@@ -34,17 +39,21 @@ def _bound_tunnel_journal():
     This setdefault is BEST-EFFORT: the plugin registers at interpreter
     start (sitecustomize) and can capture its env before this import
     runs.  When the variable was NOT already in the startup env, the
-    _XNACALL_JC_SETDEFAULT marker records that it was this import (not
-    the launcher) that set it, so
+    module-level _JC_SETDEFAULT flag records that it was this import
+    (not the launcher) that set it, so
     utils.platform.ensure_tunnel_journal_compact() knows a re-exec is
-    still required to get it into the TRUE startup env; long-run shells
-    should export AXON_JOURNAL_COMPACT=1 (run_supervised.sh does).  Opt
-    out with XNACALL_NO_JOURNAL_COMPACT=1."""
+    still required to get it into the TRUE startup env.  (A flag, not an
+    env marker: an env marker would leak to child processes whose
+    startup env genuinely has the variable and re-exec them
+    pointlessly.)  Long-run shells should export AXON_JOURNAL_COMPACT=1
+    (run_supervised.sh does).  Opt out with
+    XNACALL_NO_JOURNAL_COMPACT=1."""
+    global _JC_SETDEFAULT
     if os.environ.get("XNACALL_NO_JOURNAL_COMPACT"):
         return
     if "AXON_JOURNAL_COMPACT" not in os.environ:
         os.environ["AXON_JOURNAL_COMPACT"] = "1"
-        os.environ["_XNACALL_JC_SETDEFAULT"] = "1"
+        _JC_SETDEFAULT = True
 
 
 _bound_tunnel_journal()

@@ -31,11 +31,26 @@ def main(args):
         chunksize=args.chunksize, batchsize=args.batchsize,
         overlap=args.overlap)
     if len(model_dirs) > 1:
-        params = [params] + [
-            load_model(d, weights=args.weights or None,
-                       chunksize=args.chunksize, batchsize=args.batchsize,
-                       overlap=args.overlap)[1]
-            for d in model_dirs[1:]]
+        if cfg.is_ctc:
+            sys.stderr.write(
+                "> ensembles are CRF-only (legacy CTC decode takes one "
+                "model)\n")
+            exit(1)
+        params = [params]
+        for d in model_dirs[1:]:
+            _, p_d, cfg_d = load_model(
+                d, weights=args.weights or None,
+                chunksize=args.chunksize, batchsize=args.batchsize,
+                overlap=args.overlap)
+            if (cfg_d.is_ctc or cfg_d.alphabet != cfg.alphabet
+                    or cfg_d.state_len != cfg.state_len
+                    or cfg_d.encoder != cfg.encoder):
+                sys.stderr.write(
+                    f"> ensemble member {d} is architecturally "
+                    f"incompatible with {model_dirs[0]} (alphabet/"
+                    "state_len/encoder must match)\n")
+                exit(1)
+            params.append(p_d)
 
     targets = None
     if args.reference:

@@ -248,7 +248,12 @@ def _tag_value_bytes(vtype: str, val: str) -> bytes:
     if vtype == "A":
         return val.encode()[:1]
     if vtype == "i":
-        return struct.pack("<i", int(val))
+        iv = int(val)
+        if not (-2**31 <= iv < 2**31):
+            raise ValueError(
+                f"SAM 'i' tag value {iv} exceeds int32 (BAM typing); "
+                "use a Z tag for larger values")
+        return struct.pack("<i", iv)
     if vtype == "f":
         return struct.pack("<f", float(val))
     if vtype == "B":
@@ -271,11 +276,17 @@ def _tag_value_str(vtype: str, raw: bytes) -> str:
     if vtype == "i":
         return str(struct.unpack("<i", raw[:4])[0])
     if vtype == "f":
-        return str(struct.unpack("<f", raw[:4])[0])
+        # numpy float32 shortest repr: "0.1" round-trips as "0.1", not
+        # the double-expanded "0.10000000149011612"
+        import numpy as _np
+        return str(_np.float32(struct.unpack("<f", raw[:4])[0]))
     if vtype == "B":
         sub = chr(raw[0])
         n = struct.unpack("<i", raw[1:5])[0]
         vals = struct.unpack("<%d%s" % (n, _B_SUBTYPE_FMT[sub]), raw[5:])
+        if sub == "f":
+            import numpy as _np
+            vals = [_np.float32(v) for v in vals]
         return ",".join([sub] + [str(v) for v in vals])
     raise ValueError(f"unsupported SAM tag type {vtype!r}")
 

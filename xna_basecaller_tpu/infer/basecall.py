@@ -97,9 +97,9 @@ def _apply_maybe_ensemble(model, params, batch, compute_dtype,
     return sc / len(trees) if len(trees) > 1 else sc
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_base", "state_len", "reverse",
-                                   "compute_dtype", "lstm_int8"))
-def _super_forward_decode(params, dev, cfg, n_base: int, state_len: int,
+@partial(jax.jit, static_argnames=("model", "n_base", "state_len",
+                                   "reverse", "compute_dtype", "lstm_int8"))
+def _super_forward_decode(params, dev, model, n_base: int, state_len: int,
                           reverse: bool, compute_dtype, lstm_int8: bool):
     """ONE device execution over a [G, N, T] superbatch -> paths [G, N, T'].
 
@@ -111,18 +111,9 @@ def _super_forward_decode(params, dev, cfg, n_base: int, state_len: int,
     tunneled runtime, which pays fixed client cost per execution) is
     identical either way.
     """
-    from xna_basecaller_tpu.models.crf_model import forward
-
-    trees = params if isinstance(params, (list, tuple)) else (params,)
-
     def one(batch):
-        sc = forward(trees[0], batch, cfg, compute_dtype, inference=True,
-                     lstm_int8=lstm_int8)
-        for p in trees[1:]:  # ensemble: mean of CRF scores (see
-            sc = sc + forward(p, batch, cfg, compute_dtype,  # _apply_maybe_ensemble)
-                              inference=True, lstm_int8=lstm_int8)
-        if len(trees) > 1:
-            sc = sc / len(trees)
+        sc = _apply_maybe_ensemble(model, params, batch, compute_dtype,
+                                   lstm_int8)
         return _score_and_decode(sc, n_base, state_len, reverse)
 
     return jax.lax.map(one, dev)
@@ -256,7 +247,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                 # superbatch: one dispatch, sub-batches serialised in-jit
                 # (lax.map) so HBM holds one score tensor at a time
                 paths = _super_forward_decode(
-                    params, dev, model.cfg, model.seqdist.n_base,
+                    params, dev, model, model.seqdist.n_base,
                     model.seqdist.state_len, reverse, compute_dtype,
                     quantize)
                 yield keys_g, n_g, N, paths, None

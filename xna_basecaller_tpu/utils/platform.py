@@ -25,17 +25,21 @@ def ensure_tunnel_journal_compact() -> None:
     Importing this module runs the package __init__, whose
     _bound_tunnel_journal() setdefaults AXON_JOURNAL_COMPACT=1 — too
     late for the plugin, which captured its env at interpreter start.
-    The __init__ therefore leaves a _XNACALL_JC_SETDEFAULT marker when
-    it (rather than the launcher) set the variable; seeing either the
-    marker or an unset variable here means the TRUE startup env lacked
-    it and a re-exec is required.  Re-exec is skipped for ``python -m``
-    entry points (re-execing the module's __main__.py by path would
-    break package-relative imports; __main__.__spec__ is set exactly in
-    that case) — those launchers must export the variable themselves.
+    The __init__ therefore sets its module-level _JC_SETDEFAULT flag
+    when it (rather than the launcher) set the variable; seeing either
+    the flag or an unset variable here means the TRUE startup env
+    lacked it and a re-exec is required.  (A process flag, not an env
+    marker: children of a non-re-exec'd process inherit the variable in
+    their genuine startup env and must not re-exec.)  Re-exec is
+    skipped for ``python -m`` entry points (re-execing the module's
+    __main__.py by path would break package-relative imports;
+    __main__.__spec__ is set exactly in that case) — those launchers
+    must export the variable themselves.
     """
+    import xna_basecaller_tpu as _pkg
+
     started_without = (
-        not os.environ.get("AXON_JOURNAL_COMPACT")
-        or os.environ.get("_XNACALL_JC_SETDEFAULT") == "1")
+        not os.environ.get("AXON_JOURNAL_COMPACT") or _pkg._JC_SETDEFAULT)
     main_spec = getattr(sys.modules.get("__main__"), "__spec__", None)
     if (os.environ.get("PALLAS_AXON_POOL_IPS")
             and started_without
@@ -45,7 +49,6 @@ def ensure_tunnel_journal_compact() -> None:
             and sys.argv and sys.argv[0] and os.path.exists(sys.argv[0])):
         env = dict(os.environ,
                    AXON_JOURNAL_COMPACT="1", _XNACALL_JC_REEXEC="1")
-        env.pop("_XNACALL_JC_SETDEFAULT", None)
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
