@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Copy the committed-artifact subset of a spliced_northstar run into
-results/<name>/ (summary JSON, results_summ CSV chain, training curve)."""
+results/<name>/ (summary JSON, results_summ CSV chain, training curves).
+
+Understands single-seed runs (spliced_model/), multi-seed runs
+(spliced_model_s{seed}/) and an ensemble winner (ensemble_*/)."""
 import argparse
+import json
 import os
 import shutil
+from glob import glob
 
 p = argparse.ArgumentParser()
 p.add_argument("run_dir")
@@ -14,27 +19,52 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 out = os.path.join(repo, "results", args.name)
 os.makedirs(out, exist_ok=True)
 
+
 def cp(src, dst=None):
     if os.path.exists(src):
         shutil.copy(src, os.path.join(out, dst or os.path.basename(src)))
         return True
     return False
 
-cp(os.path.join(args.run_dir, "northstar_summary.json"))
-sm = os.path.join(args.run_dir, "spliced_model")
-cp(os.path.join(sm, "training.csv"))
+
+summary_path = os.path.join(args.run_dir, "northstar_summary.json")
+cp(summary_path)
+summary = json.load(open(summary_path)) if os.path.exists(summary_path) \
+    else {}
+
+# training curves: every seed dir (single-seed runs keep the plain name)
+seed_dirs = sorted(glob(os.path.join(args.run_dir, "spliced_model_s*"))) \
+    or [os.path.join(args.run_dir, "spliced_model")]
+for sd in seed_dirs:
+    tag = os.path.basename(sd).replace("spliced_model", "") or ""
+    cp(os.path.join(sd, "training.csv"), f"training{tag}.csv")
+
+# the winner's basecall/eval artifact chain
+best_seed = summary.get("best_seed")
+if best_seed == "ensemble":
+    win_bases = sorted(glob(os.path.join(args.run_dir, "ensemble_*")))
+elif best_seed is not None and len(seed_dirs) > 1:
+    win_bases = [os.path.join(args.run_dir, f"spliced_model_s{best_seed}")]
+else:
+    win_bases = seed_dirs[:1]
+
 for key, exp, tag in (("val", "CPLX", "val"), ("test", "CPLX", "test"),
                       ("test-ind", "CPLX", "test-ind"),
                       ("POC-test", "POC", "test"),
                       ("val", "POC", "val"), ("test", "POC", "test")):
-    for base in (os.path.join(sm, "basecalls"),
-                 os.path.join(sm, f"basecalls-{key}")):
-        suffix = "-x" if key == "POC-test" else ""
-        cp(os.path.join(base, f"results_summ-{exp}-{tag}.csv"),
-           f"results_summ-{exp}-{tag}{suffix}.csv")
-        cp(os.path.join(base, f"results_summ-{exp}-{tag}-by_tar.csv"),
-           f"results_summ-{exp}-{tag}{suffix}-by_tar.csv")
-# per-epoch validation chain: keep the consolidated log if present
-for name in ("validation_chain.log", "consolidated.csv"):
-    cp(os.path.join(sm, name))
+    for win in win_bases:
+        for base in (os.path.join(win, "basecalls"),
+                     os.path.join(win, f"basecalls-{key}"),
+                     win):
+            suffix = "-x" if key == "POC-test" else ""
+            cp(os.path.join(base, f"results_summ-{exp}-{tag}.csv"),
+               f"results_summ-{exp}-{tag}{suffix}.csv")
+            cp(os.path.join(base, f"results_summ-{exp}-{tag}-by_tar.csv"),
+               f"results_summ-{exp}-{tag}{suffix}-by_tar.csv")
+# per-seed val consolidation + per-epoch chain logs if present
+for sd in seed_dirs + win_bases:
+    for name in ("validation_chain.log", "consolidated.csv"):
+        tag = os.path.basename(sd).replace("spliced_model", "") or ""
+        cp(os.path.join(sd, name), f"{os.path.splitext(name)[0]}{tag}"
+                                   f"{os.path.splitext(name)[1]}")
 print("collected into", out)
