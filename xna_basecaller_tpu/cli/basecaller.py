@@ -262,7 +262,9 @@ def argparser():
     parser.add_argument("--superbatch", default=1, type=int, metavar="G",
                         help="stack G batches per device execution "
                              "(amortises per-execution runtime cost; "
-                             "G*batchsize rows per forward)")
+                             "sub-batches run serially in-jit). Ignored "
+                             "(runs as 1, with a warning) together with "
+                             "--qscores or --beam")
     parser.add_argument("--max-reads", default=0, type=int)
     parser.add_argument("--summary", default=None,
                         help="write per-read summary tsv here")
