@@ -120,3 +120,46 @@ for _ in range(3):
 jax.block_until_ready(g)
 print(f"CRF loss grad (scores->dscores): "
       f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms", flush=True)
+
+
+# LSTM-stack isolation: fwd and fwd+bwd of just the 5-layer recurrence
+# stack (768 wide, T'=720 at stride 5... T' = 3600/stride from config) —
+# pins how much of the step the serial recurrences own.
+def lstm_stack(p, x):
+    from xna_basecaller_tpu.models.crf_model import rnn_directions
+    from xna_basecaller_tpu.utils.platform import is_tpu
+    if is_tpu():
+        from xna_basecaller_tpu.ops.lstm_pallas import (
+            lstm_forward_pallas_trainable as fwd,
+        )
+    else:
+        from xna_basecaller_tpu.ops.lstm import lstm_forward as fwd
+    for layer, rev in zip(p, rnn_directions(cfg)):
+        x = fwd(layer, x, reverse=rev)
+    return x
+
+
+Tp = 3600 // cfg.encoder.stride
+x_lstm = jax.device_put(
+    rng.normal(size=(Tp, batch, cfg.encoder.features))
+    .astype(np.float32)).astype(jnp.bfloat16)
+rnn_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["rnn"])
+
+f_jit = jax.jit(lstm_stack)
+y = f_jit(rnn_bf16, x_lstm); jax.block_until_ready(y)
+t0 = time.perf_counter()
+for _ in range(3):
+    y = f_jit(rnn_bf16, x_lstm)
+jax.block_until_ready(y)
+print(f"lstm stack fwd: {(time.perf_counter() - t0) / 3 * 1e3:.1f} ms",
+      flush=True)
+
+g_jit = jax.jit(jax.grad(lambda p, x: jnp.sum(
+    lstm_stack(p, x).astype(jnp.float32))))
+g = g_jit(rnn_bf16, x_lstm); jax.block_until_ready(g)
+t0 = time.perf_counter()
+for _ in range(3):
+    g = g_jit(rnn_bf16, x_lstm)
+jax.block_until_ready(g)
+print(f"lstm stack fwd+bwd: {(time.perf_counter() - t0) / 3 * 1e3:.1f} ms",
+      flush=True)
