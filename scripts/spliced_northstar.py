@@ -231,6 +231,32 @@ def _write_swa_checkpoint(args, workdir):
     log(f"> [C] SWA checkpoint: mean of epochs {tail} -> weights_{SWA_EPOCH}")
 
 
+def _write_soup_dir(soup_dir: str, member_dirs: list) -> None:
+    """Materialise a model dir whose weights_99 is the MEAN of the
+    members' weights_99 trees (model soup; config copied from the first
+    member).  Idempotent per soup_dir (the dir is membership-keyed)."""
+    import jax
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    out = os.path.join(soup_dir, "weights_99.npz")
+    if os.path.exists(out):
+        return
+    os.makedirs(soup_dir, exist_ok=True)
+    cfg = config_lib.load(member_dirs[0])
+    config_lib.save(cfg, soup_dir)
+    template = init_params(jax.random.key(0), cfg)
+    trees = [ckpt.load_tree(template,
+                            os.path.join(d, "weights_99.npz"))
+             for d in member_dirs]
+    mean = jax.tree.map(
+        lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
+        *trees)
+    ckpt.save_tree(mean, out)
+
+
 def _sim_heldout(refs, g, n):
     from xna_basecaller_tpu.data.simulate import sim_library_reads
     return sim_library_reads(refs, g, n, True, "heldout",
@@ -449,12 +475,34 @@ def main():
         log(f"> ensemble({len(ens_dirs)} seeds): "
             f"val err_only_ub {ens_err:.2f}")
 
+    # model-soup candidate: cross-seed WEIGHT average of the best
+    # checkpoints.  Every seed fine-tunes the same bootstrap init with
+    # the bottom frozen, so the endpoints share a loss basin and their
+    # average is a single model (zero inference overhead, unlike the
+    # score ensemble).  Judged on the same val reads.
+    soup_err = float("inf")
+    soup_base = os.path.join(args.out, f"soup_{ens_tag}")
+    if len(ens_dirs) > 1 and not args.no_ensemble:
+        from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
+        _write_soup_dir(soup_base, ens_dirs)
+        summ = basecall_and_eval(
+            soup_base, val_reads, args.exp, "val", weights="99",
+            batchsize=args.batch, ubs="XY",
+            out_dir=os.path.join(soup_base, "basecalls-val"), log=log)
+        soup_err = float(summ.get("err_only_ub", float("inf")))
+        log(f"> soup({len(ens_dirs)} seeds): val err_only_ub "
+            f"{soup_err:.2f}")
+
     best_err, win_seed, workdir, best = min(candidates)
     out_base = None
-    if ens_err < best_err:
+    if ens_err < best_err and ens_err <= soup_err:
         best_err, win_seed, workdir, best = (
             ens_err, "ensemble", ens_dirs, 99)
         out_base = ens_base
+    elif soup_err < best_err:
+        best_err, win_seed, workdir, best = (
+            soup_err, "soup", soup_base, 99)
+        out_base = soup_base
     log(f"> WINNER: seed {win_seed} epoch {best} "
         f"(val err_only_ub {best_err:.2f})")
     if best is None:
@@ -479,6 +527,7 @@ def main():
             {"seed": s, "best_epoch": b, "val_err_only_ub": _fin(e)}
             for e, s, _, b in sorted(candidates)],
         "ensemble_val_err_only_ub": _fin(ens_err),
+        "soup_val_err_only_ub": _fin(soup_err),
         "wall_seconds": int(time.time() - t0),
     }
     for key, vals in results.items():

@@ -62,6 +62,47 @@ def test_ensemble_superbatch_matches_unsuperbatched(tiny):
     assert plain == sup
 
 
+def test_soup_dir_is_mean_of_members(tmp_path):
+    """The north-star chain's model-soup candidate: weights_99 of the
+    soup dir == elementwise mean of the members' weights_99."""
+    import importlib.util
+    import os
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    spec = importlib.util.spec_from_file_location(
+        "spliced_northstar",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "spliced_northstar.py"))
+    ns = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ns)
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    template = init_params(jax.random.key(0), cfg)
+    dirs, trees = [], []
+    for i in (0, 1, 2):
+        d = tmp_path / f"m{i}"
+        d.mkdir()
+        config_lib.save(cfg, str(d))
+        t = init_params(jax.random.key(i + 1), cfg)
+        ckpt.save_tree(t, str(d / "weights_99.npz"))
+        dirs.append(str(d))
+        trees.append(t)
+    soup = tmp_path / "soup"
+    ns._write_soup_dir(str(soup), dirs)
+    got = ckpt.load_tree(template, str(soup / "weights_99.npz"))
+    want = jax.tree.map(
+        lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), 0),
+        *trees)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6)
+    # idempotent: second call keeps the file
+    ns._write_soup_dir(str(soup), dirs)
+    assert (soup / "config.toml").exists()
+
+
 def test_basecall_and_eval_accepts_workdir_list(tmp_path):
     """tools.eval_model.basecall_and_eval loads an ensemble from a list
     of model dirs (same architecture)."""
