@@ -319,10 +319,13 @@ def phase_d_validate(args, workdir, val_reads):
             init_params(jax.random.key(0), cfg),
             os.path.join(workdir, f"weights_{epoch}.npz"))
         t0 = time.time()
-        with open(fq, "w") as fh:
+        # atomic write: a tunnel drop mid-basecall must not leave a
+        # partial fastq that the resumed run mistakes for complete
+        with open(fq + ".tmp", "w") as fh:
             stats = run_basecaller(model, params, iter(val_reads), fh,
                                    chunksize=3600, overlap=500,
                                    batchsize=args.batch)
+        os.replace(fq + ".tmp", fq)
         log(f"> [D] epoch {epoch}: basecalled val in "
             f"{time.time() - t0:.0f}s ({stats['samples_per_s']:.2E} sps)")
     best = run_ub_validation(workdir, args.exp, ubs="XY",
