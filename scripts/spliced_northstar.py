@@ -44,7 +44,10 @@ def phase_a_bootstrap(args, cfg_dir):
     from xna_basecaller_tpu.train.loop import Trainer
 
     workdir = os.path.join(args.out, "bootstrap_model")
-    if os.path.exists(os.path.join(workdir, "training.csv")):
+    # done marker = config.toml: it is written only after fit() completes,
+    # while training.csv exists from epoch 1 (a run killed mid-training
+    # must re-enter fit(), which resumes from the latest saved epoch)
+    if os.path.exists(os.path.join(workdir, "config.toml")):
         log("> [A] bootstrap model exists, skipping")
         return workdir
     t0 = time.time()
