@@ -52,20 +52,32 @@ def load_numpy_datasets(directory: str, limit: int | None = None,
     return out
 
 
+def atomic_np_save(path: str, arr) -> None:
+    """np.save via tmp-file + rename: a process killed mid-write (tunnel
+    drop, watchdog) must never leave a truncated .npy that a resumed
+    chain mistakes for a complete artifact."""
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
 def save_ctc_data(directory: str, chunks, targets, lengths,
                   breakpoints=None, indices=None) -> None:
     os.makedirs(directory, exist_ok=True)
-    np.save(os.path.join(directory, "chunks.npy"),
-            np.asarray(chunks, np.float16))
-    np.save(os.path.join(directory, "references.npy"),
-            np.asarray(targets, np.uint8))
-    np.save(os.path.join(directory, "reference_lengths.npy"),
-            np.asarray(lengths, np.uint16))
+    # chunks.npy doubles as the directory's existence/skip marker in the
+    # resumable chains — write it LAST so its presence implies the rest
+    atomic_np_save(os.path.join(directory, "references.npy"),
+                   np.asarray(targets, np.uint8))
+    atomic_np_save(os.path.join(directory, "reference_lengths.npy"),
+                   np.asarray(lengths, np.uint16))
     if breakpoints is not None:
-        np.save(os.path.join(directory, "breakpoints.npy"),
-                np.asarray(breakpoints, np.uint16))
+        atomic_np_save(os.path.join(directory, "breakpoints.npy"),
+                       np.asarray(breakpoints, np.uint16))
     if indices is not None:
-        np.save(os.path.join(directory, "indices.npy"), np.asarray(indices))
+        atomic_np_save(os.path.join(directory, "indices.npy"),
+                       np.asarray(indices))
+    atomic_np_save(os.path.join(directory, "chunks.npy"),
+                   np.asarray(chunks, np.float16))
 
 
 @dataclass

@@ -285,13 +285,18 @@ class CtcDataWriter:
         for i, t in enumerate(self.targets):
             targets[i, : len(t)] = t
         indices = self.rng.permutation(typical_indices(lengths))
-        np.save(os.path.join(self.dir, "chunks.npy"), chunks[indices])
-        np.save(os.path.join(self.dir, "references.npy"), targets[indices])
-        np.save(os.path.join(self.dir, "reference_lengths.npy"),
-                lengths[indices])
+        # chunks.npy is the shard's resume/skip marker: write it last and
+        # atomically so a kill mid-save can't leave a half-complete shard
+        from xna_basecaller_tpu.data.ctc_data import atomic_np_save
+        atomic_np_save(os.path.join(self.dir, "references.npy"),
+                       targets[indices])
+        atomic_np_save(os.path.join(self.dir, "reference_lengths.npy"),
+                       lengths[indices])
         with open(os.path.join(self.dir, "filter_stats.csv"), "w") as fh:
             fh.write(",0\n")
             for k, v in self.stats.items():
                 fh.write(f"{k},{int(v)}\n")
+        atomic_np_save(os.path.join(self.dir, "chunks.npy"),
+                       chunks[indices])
         self.log(f"> written ctc training data: {len(indices)} chunks")
         return len(indices)

@@ -173,6 +173,9 @@ def dtw_segmentation(ctc_dir: str, ref_rep: int = 3,
     for i, (bk, success) in enumerate(results):
         bkps[i, : len(bk)] = np.minimum(bk, np.iinfo(np.uint16).max)
         ok.append(success)
-    np.save(out_path, bkps)
+    # breakpoints.npy gates the whole bootstrap-data phase in the
+    # resumable chains — must never exist truncated
+    from xna_basecaller_tpu.data.ctc_data import atomic_np_save
+    atomic_np_save(out_path, bkps)
     log(f"Saved {out_path} ({np.sum(ok)}/{len(ok)} DTW-aligned)")
     return bkps, np.asarray(ok)

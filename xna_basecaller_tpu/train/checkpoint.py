@@ -50,7 +50,12 @@ def _unflatten(template, flat: dict[str, np.ndarray]):
 
 
 def save_tree(tree, path: str) -> None:
-    np.savez(path, **_flatten(tree))
+    """Atomic write: weights_N.npz presence is the resume marker for
+    trainings and chains — a kill mid-save must not leave a truncated
+    archive that a relaunch mistakes for a complete checkpoint."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **_flatten(tree))
+    os.replace(tmp, path)
 
 
 def load_tree(template, path: str):
