@@ -39,10 +39,16 @@ for sd in seed_dirs:
     tag = os.path.basename(sd).replace("spliced_model", "") or ""
     cp(os.path.join(sd, "training.csv"), f"training{tag}.csv")
 
-# the winner's basecall/eval artifact chain
+# the winner's basecall/eval artifact chain: prefer the explicitly
+# recorded dir (globs can hit stale membership-keyed ensemble/soup dirs
+# left by resumed runs with different seeds/epochs)
 best_seed = summary.get("best_seed")
-if best_seed == "ensemble":
+if summary.get("winner_dir"):
+    win_bases = [os.path.join(args.run_dir, summary["winner_dir"])]
+elif best_seed == "ensemble":
     win_bases = sorted(glob(os.path.join(args.run_dir, "ensemble_*")))
+elif best_seed == "soup":
+    win_bases = sorted(glob(os.path.join(args.run_dir, "soup_*")))
 elif best_seed is not None and len(seed_dirs) > 1:
     win_bases = [os.path.join(args.run_dir, f"spliced_model_s{best_seed}")]
 else:

@@ -13,23 +13,24 @@ export AXON_JOURNAL_COMPACT=${AXON_JOURNAL_COMPACT:-1}
 DONE_FILE=$1; shift
 LOG=$1; shift
 # The attempt cap guards against a hard failure loop (crash on the same
-# line every relaunch), NOT against long outages: an attempt that made
-# progress (the log grew) resets the budget, so a flaky tunnel can drop
-# any number of times as long as the chain keeps advancing.
+# line every relaunch), NOT against long outages: an attempt that ran
+# for >=10 minutes was doing real work (a deterministic resume-and-crash
+# loop dies in seconds — even a killed-by-watchdog hang burns its budget
+# slowly), so it resets the budget and a flaky tunnel can drop any
+# number of times as long as the chain keeps advancing.
 ATTEMPT=0
 while [ ! -e "$DONE_FILE" ] && [ $ATTEMPT -lt 20 ]; do
   ATTEMPT=$((ATTEMPT + 1))
   echo "=== supervisor attempt $ATTEMPT: $* ===" >> "$LOG"
-  size0=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+  t0=$SECONDS
   "$@" >> "$LOG" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "=== supervisor: clean exit ===" >> "$LOG"
     break
   fi
-  size1=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
-  if [ $((size1 - size0)) -gt 500 ]; then
-    ATTEMPT=0  # made progress: this wasn't a deterministic crash loop
+  if [ $((SECONDS - t0)) -ge 600 ]; then
+    ATTEMPT=0  # long-running attempt: not a deterministic crash loop
   fi
   echo "=== supervisor: exit $rc, retrying in 60s ===" >> "$LOG"
   sleep 60

@@ -322,13 +322,11 @@ def phase_d_validate(args, workdir, val_reads):
             init_params(jax.random.key(0), cfg),
             os.path.join(workdir, f"weights_{epoch}.npz"))
         t0 = time.time()
-        # atomic write: a tunnel drop mid-basecall must not leave a
-        # partial fastq that the resumed run mistakes for complete
-        with open(fq + ".tmp", "w") as fh:
+        from xna_basecaller_tpu.utils.fileio import atomic_output
+        with atomic_output(fq) as fh:
             stats = run_basecaller(model, params, iter(val_reads), fh,
                                    chunksize=3600, overlap=500,
                                    batchsize=args.batch)
-        os.replace(fq + ".tmp", fq)
         log(f"> [D] epoch {epoch}: basecalled val in "
             f"{time.time() - t0:.0f}s ({stats['samples_per_s']:.2E} sps)")
     best = run_ub_validation(workdir, args.exp, ubs="XY",
@@ -526,8 +524,15 @@ def main():
     def _fin(x):  # inf -> null: keep the summary strict JSON
         return x if isinstance(x, (int, str)) or np.isfinite(x) else None
 
+    win_dir = out_base or (workdir if isinstance(workdir, str)
+                           else workdir[0])
     summary = {
         "exp": args.exp, "best_epoch": best, "best_seed": win_seed,
+        # basename of the dir holding the winner's basecall/eval chain
+        # (seed dir, ensemble_* or soup_*) — collectors must use this,
+        # not a glob (stale membership-keyed dirs from resumed runs with
+        # different seeds/epochs may coexist)
+        "winner_dir": os.path.basename(win_dir.rstrip("/")),
         "val_err_only_ub": _fin(best_err),
         "seed_candidates": [
             {"seed": s, "best_epoch": b, "val_err_only_ub": _fin(e)}

@@ -200,7 +200,13 @@ def dumps(cfg: ModelConfig | dict) -> str:
 
 
 def save(cfg: ModelConfig | dict, path: str) -> None:
+    """Atomic write: config.toml presence doubles as a done/resume marker
+    in the chains (e.g. phase-A bootstrap), so a kill mid-write must not
+    leave a truncated file that parses wrong or skips a phase."""
     if os.path.isdir(path):
         path = os.path.join(path, "config.toml")
-    with open(path, "w") as fh:
+    tmp = os.path.join(os.path.dirname(path) or ".",
+                       ".tmp-" + os.path.basename(path))
+    with open(tmp, "w") as fh:
         fh.write(dumps(cfg))
+    os.replace(tmp, path)

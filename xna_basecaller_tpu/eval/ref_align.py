@@ -235,8 +235,10 @@ def align_fastq(reads: dict[str, str], targets: dict[str, str],
 
 
 def write_paf(records: list[dict], path: str) -> None:
-    """Write minimap2-compatible PAF lines (+cs tag)."""
-    with open(path, "w") as fh:
+    """Write minimap2-compatible PAF lines (+cs tag).  Atomic: PAF
+    presence is a resume marker in the eval chains."""
+    from xna_basecaller_tpu.utils.fileio import atomic_output
+    with atomic_output(path) as fh:
         for r in records:
             fh.write("\t".join(str(x) for x in (
                 r["read_id"], r["read_length"], r["read_start"],

@@ -18,6 +18,7 @@ from xna_basecaller_tpu.eval.ref_align import (
     align_fastq, read_paf, write_paf,
 )
 from xna_basecaller_tpu.eval.xna_refs import EXP_REF_MAP, XnaRefs
+from xna_basecaller_tpu.utils.fileio import atomic_output
 
 # default demux gates per library (reference eval_model.sh:64-68)
 MAX_BC_DIST = {"POC": 5, "CPLX": 8}
@@ -56,15 +57,13 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
             with open(read_ids) as fh:
                 ids = {l.strip().split()[0] for l in fh if l.strip()}
         reads = get_reads(reads_dir, read_ids=ids)
-        tmp = fastq_path + ".tmp"
-        with open(tmp, "w") as fq:
+        with atomic_output(fastq_path) as fq:
             run_basecaller(
                 model, params, reads, fq,
                 chunksize=cfg.basecaller.chunksize,
                 overlap=cfg.basecaller.overlap,
                 batchsize=cfg.basecaller.batchsize,
                 beam_width=beam_width)
-        os.replace(tmp, fastq_path)
     reads = read_fastq(fastq_path)
     if not reads:
         raise RuntimeError(f"no reads in {fastq_path}")
@@ -77,8 +76,7 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
     else:
         log(f"> aligning {len(reads)} reads to {ref_name} templates")
         records = align_fastq(reads, refs.targets, n_proc=n_proc)
-        write_paf(records, paf_path + ".tmp")
-        os.replace(paf_path + ".tmp", paf_path)
+        write_paf(records, paf_path)  # atomic internally
 
     # 3) analysis (reference eval_model.sh:150-177)
     if max_bc_dist is None:
@@ -137,14 +135,10 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
     os.makedirs(out_dir, exist_ok=True)
     fq = os.path.join(out_dir, f"reads-{exp}-{split}.fastq")
     if not (os.path.exists(fq) and os.path.getsize(fq)):
-        # atomic: a crash mid-basecall (e.g. tunnel drop) must not leave
-        # a partial fastq that a resumed run mistakes for complete
-        tmp = fq + ".tmp"
-        with open(tmp, "w") as fh:
+        with atomic_output(fq) as fh:
             run_basecaller(model, params, iter(reads), fh,
                            chunksize=chunksize, overlap=overlap,
                            batchsize=batchsize, quantize=quantize,
                            beam_width=beam_width)
-        os.replace(tmp, fq)
     return eval_model(exp, out_dir, split=split, reads_fastq=fq, ubs=ubs,
                       log=log)

@@ -52,8 +52,13 @@ def _unflatten(template, flat: dict[str, np.ndarray]):
 def save_tree(tree, path: str) -> None:
     """Atomic write: weights_N.npz presence is the resume marker for
     trainings and chains — a kill mid-save must not leave a truncated
-    archive that a relaunch mistakes for a complete checkpoint."""
-    tmp = path + ".tmp.npz"
+    archive that a relaunch mistakes for a complete checkpoint.
+
+    The tmp name is PREFIXED (".tmp-weights_N.npz"): a suffixed
+    "weights_N.npz.tmp.npz" would match the "weights_*.npz" resume
+    globs and crash every relaunch on the leftover."""
+    tmp = os.path.join(os.path.dirname(path) or ".",
+                       ".tmp-" + os.path.basename(path))
     np.savez(tmp, **_flatten(tree))
     os.replace(tmp, path)
 
