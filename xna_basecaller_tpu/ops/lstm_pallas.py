@@ -350,76 +350,117 @@ def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None,
     return (ys[:T], cs[:T]) if pad else (ys, cs)
 
 
-def _lstm_bwd_kernel(dy_ref, ysp_ref, csp_ref, cs_ref, xp_ref, whh_ref,
-                     dxp_ref, dh_ref, dc_ref):
-    """One reverse timestep of the analytic LSTM backward.
+def _make_bwd_kernel(unroll: int):
+    def kernel(dy_ref, ysp_ref, csp_ref, cs_ref, xp_ref, whh_ref,
+               dxp_ref, dh_ref, dc_ref):
+        """``unroll`` reverse timesteps of the analytic LSTM backward.
 
-    The grid walks t = 0..T-1 but the index maps feed time T-1-t, so the
-    dh/dc carries live in VMEM scratch across the whole reverse scan and
-    W_hh stays resident; per step: one gate-recompute matmul
-    ([BN,H]x[H,4H]) + one cotangent matmul (dgates contracted against
-    W_hh's 4H axis = dgates @ W^T without materialising the transpose).
-    Gates are recomputed rather than saved: the extra matmul is cheaper
-    than streaming 4 extra [T,N,H] residual tensors through HBM."""
-    t = pl.program_id(1)
+        The grid walks t = 0..T/U-1 but the index maps feed the U-block
+        at time T - U*(t+1), so the dh/dc carries live in VMEM scratch
+        across the whole reverse scan and W_hh stays resident; per step:
+        one gate-recompute matmul ([BN,H]x[H,4H]) + one cotangent matmul
+        (dgates contracted against W_hh's 4H axis = dgates @ W^T without
+        materialising the transpose).  Gates are recomputed rather than
+        saved: the extra matmul is cheaper than streaming 4 extra
+        [T,N,H] residual tensors through HBM.  Unrolling halves the
+        Mosaic per-grid-step pipeline overhead on the serial chain (same
+        win as the forward kernels' UNROLL=2)."""
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        dh_ref[:] = jnp.zeros_like(dh_ref)
-        dc_ref[:] = jnp.zeros_like(dc_ref)
+        @pl.when(t == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    f32 = jnp.float32
-    h_prev = ysp_ref[0]
-    H = h_prev.shape[1]
-    gates = xp_ref[0].astype(f32) + jnp.dot(
-        h_prev, whh_ref[:], preferred_element_type=f32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    tc = jnp.tanh(cs_ref[0].astype(f32))
-    dh = dy_ref[0].astype(f32) + dh_ref[:]
-    do = dh * tc
-    dc = dh * o * (1 - tc * tc) + dc_ref[:]
-    di = dc * g
-    df = dc * csp_ref[0].astype(f32)
-    dg = dc * i
-    dgates = jnp.concatenate([
-        di * i * (1 - i), df * f * (1 - f),
-        dg * (1 - g * g), do * o * (1 - o)], axis=1)
-    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
-    # dgates @ W^T: contract both 4H axes (no transposed copy of W)
-    dh_ref[:] = jax.lax.dot_general(
-        dgates.astype(whh_ref.dtype), whh_ref[:],
-        (((1,), (1,)), ((), ())), preferred_element_type=f32)
-    dc_ref[:] = dc * f
+        f32 = jnp.float32
+        dh_c = dh_ref[:]
+        dc_c = dc_ref[:]
+        H = dh_c.shape[1]
+        for u in reversed(range(unroll)):  # reverse time within the block
+            h_prev = ysp_ref[u]
+            gates = xp_ref[u].astype(f32) + jnp.dot(
+                h_prev, whh_ref[:], preferred_element_type=f32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            tc = jnp.tanh(cs_ref[u].astype(f32))
+            dh = dy_ref[u].astype(f32) + dh_c
+            do = dh * tc
+            dc = dh * o * (1 - tc * tc) + dc_c
+            di = dc * g
+            df = dc * csp_ref[u].astype(f32)
+            dg = dc * i
+            dgates = jnp.concatenate([
+                di * i * (1 - i), df * f * (1 - f),
+                dg * (1 - g * g), do * o * (1 - o)], axis=1)
+            dxp_ref[u] = dgates.astype(dxp_ref.dtype)
+            # dgates @ W^T: contract both 4H axes (no transposed copy)
+            dh_c = jax.lax.dot_general(
+                dgates.astype(whh_ref.dtype), whh_ref[:],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dc_c = dc * f
+        dh_ref[:] = dh_c
+        dc_ref[:] = dc_c
+    return kernel
+
+
+def _bwd_vmem_bytes(unroll: int, bn: int, h: int, xp_itemsize: int,
+                    cs_itemsize: int) -> int:
+    """Double-buffered working-set estimate for the backward kernel."""
+    per_step = bn * h * (
+        2 * xp_itemsize        # dy + ysp
+        + 2 * cs_itemsize      # csp + cs
+        + 8 * xp_itemsize)     # xp [BN,4H] + dxp out [BN,4H]
+    return 2 * unroll * per_step + h * 4 * h * 2 + 2 * bn * h * 4
 
 
 def _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp, w_hh,
                     block_n: int | None = None):
     """Reverse recurrence as a Pallas kernel -> dgates [T, N, 4H]
     (stored in xp's dtype; the caller's dw einsum consumes it in the
-    matmul dtype either way)."""
+    matmul dtype either way).
+
+    Time is unrolled 2 steps per grid iteration when the double-buffered
+    working set fits the ~16MB VMEM budget (it does at BN=128/H=768 with
+    bf16 cell residuals; f32 residuals sit right at the edge, so they
+    run unrolled only below BN=128)."""
     T, N, H4 = xp.shape
     H = H4 // 4
-    # W resident (4.5MB at H=768) + f32 cell residual blocks: BN=128
-    # keeps the double-buffered working set inside the 16MB VMEM budget
+    # W resident (4.5MB at H=768) + cell residual blocks: BN=128 keeps
+    # the double-buffered working set inside the 16MB VMEM budget
     BN = block_n or _auto_block_n(N, cap=128)
-    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731
-    return pl.pallas_call(
-        _lstm_bwd_kernel,
-        grid=(N // BN, T),
+    unroll = UNROLL
+    if (_bwd_vmem_bytes(unroll, BN, H, xp.dtype.itemsize,
+                        cs.dtype.itemsize) > 15 * 1024 * 1024):
+        unroll = 1
+    pad = (-T) % unroll
+    if pad:
+        # zero padding APPENDED in time is inert for the reverse scan:
+        # the padded steps run first with zero carries and dy=0, leaving
+        # dh/dc at exactly zero when the real t=T-1 step begins
+        z = lambda a: jnp.concatenate(  # noqa: E731
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        dys, ys_prev, cs_prev, cs, xp = map(z, (dys, ys_prev, cs_prev,
+                                                cs, xp))
+    Tp = T + pad
+    nt = Tp // unroll
+    rev = lambda b, t: (nt - 1 - t, b, 0)  # noqa: E731
+    out = pl.pallas_call(
+        _make_bwd_kernel(unroll),
+        grid=(N // BN, nt),
         in_specs=[
-            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, BN, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, BN, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BN, H4), rev, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, N, H4), xp.dtype),
+        out_specs=pl.BlockSpec((unroll, BN, H4), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, N, H4), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((BN, H), jnp.float32),
             pltpu.VMEM((BN, H), jnp.float32),
@@ -427,6 +468,7 @@ def _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp, w_hh,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(dys, ys_prev, cs_prev, cs, xp, w_hh)
+    return out[:T] if pad else out
 
 
 @jax.custom_vjp
