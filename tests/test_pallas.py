@@ -156,6 +156,62 @@ def test_trainable_pallas_lstm_odd_T_pad_path():
         pl.pallas_call = orig
 
 
+def test_trainable_pallas_lstm_bf16_cell_residuals():
+    """XNACALL_LSTM_CELL_RESID_BF16 mode: cell-state residuals stream in
+    bf16 (halves the cs HBM traffic and lets the backward unroll engage
+    at full batch tile).  The in-kernel carries stay f32, so grads must
+    track the f32 scan oracle within bf16-residual error (~1e-2), and
+    the forward outputs stay bit-identical to flag-off (the flag only
+    changes what is SAVED, not what is computed)."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    orig_call = pl.pallas_call
+    orig_flag = lstm_pallas._CELL_RESID_COMPUTE_DTYPE
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    pl.pallas_call = patched
+    lstm_pallas._CELL_RESID_COMPUTE_DTYPE = True
+    try:
+        H, T, N = 32, 9, 4
+        p32 = init_lstm_params(jax.random.key(7), H, H)
+        p = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+        x = jax.random.normal(jax.random.key(8), (T, N, H),
+                              jnp.float32).astype(jnp.bfloat16)
+        dy_seed = jax.random.normal(jax.random.key(9), (T, N, H),
+                                    jnp.float32)
+
+        def loss_pallas(params, x):
+            y = lstm_pallas.lstm_forward_pallas_trainable(params, x)
+            return jnp.sum(y.astype(jnp.float32) * dy_seed)
+
+        def loss_scan(params, x):
+            y = lstm_forward(jax.tree.map(
+                lambda a: a.astype(jnp.float32), params),
+                x.astype(jnp.float32))
+            return jnp.sum(y * dy_seed)
+
+        y_on = lstm_pallas.lstm_forward_pallas_trainable(p, x)
+        lstm_pallas._CELL_RESID_COMPUTE_DTYPE = False
+        y_off = lstm_pallas.lstm_forward_pallas_trainable(p, x)
+        np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+        lstm_pallas._CELL_RESID_COMPUTE_DTYPE = True
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+        g2 = jax.grad(loss_scan, argnums=(0, 1))(p32, x)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = max(1e-3, float(np.max(np.abs(b))))
+            assert np.max(np.abs(a - b)) / denom < 3e-2
+    finally:
+        pl.pallas_call = orig_call
+        lstm_pallas._CELL_RESID_COMPUTE_DTYPE = orig_flag
+
+
 def test_int8_lstm_pallas_matches_quantized_oracle():
     """int8 recurrence kernel (koi --quantize parity): bit-exact against a
     plain-JAX oracle of the same quantized math, and close to the f32
