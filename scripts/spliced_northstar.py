@@ -274,10 +274,13 @@ def make_eval_reads(args, refs):
     rng = np.random.default_rng(777)
     val_reads = list(_sim_heldout(refs, rng, args.val_reads))
     test_reads = list(_sim_heldout(refs, rng, args.test_reads))
-    # matched in-distribution test set for the circularity comparison
+    # matched in-distribution test set for the circularity comparison;
+    # secondary evals (in-dist, POC) may run smaller than the north-star
+    # held-out eval — only the latter's CI gates the accuracy target
+    n2 = args.secondary_test_reads or args.test_reads
     rng2 = np.random.default_rng(778)
     test_reads_ind = list(sim_library_reads(
-        refs, rng2, args.test_reads, True, "default", read_len_chunks=1))
+        refs, rng2, n2, True, "default", read_len_chunks=1))
     return val_reads, test_reads, test_reads_ind
 
 
@@ -361,7 +364,8 @@ def phase_e_test(args, workdir, test_reads, test_reads_ind,
         # library too (train_and_eval.sh -E POC, README.md:108)
         poc_refs = XnaRefs("POC")
         rng3 = np.random.default_rng(779)
-        poc_reads = list(_sim_heldout(poc_refs, rng3, args.test_reads))
+        poc_reads = list(_sim_heldout(
+            poc_refs, rng3, args.secondary_test_reads or args.test_reads))
         evals.append(("POC", "test", poc_reads))
     for exp, tag, reads in evals:
         key = tag if exp == args.exp else f"{exp}-{tag}"
@@ -422,6 +426,12 @@ def main():
     p.add_argument("--val-from", type=int, default=0,
                    help="skip per-epoch validation below this epoch")
     p.add_argument("--test-reads", type=int, default=400)
+    p.add_argument("--secondary-test-reads", type=int, default=None,
+                   help="read count for the secondary test evals "
+                        "(in-distribution + POC cross-library); default "
+                        "= --test-reads. The north-star held-out eval "
+                        "always runs at the full --test-reads so its "
+                        "binomial CI keeps its power")
     p.add_argument("--n-proc", type=int, default=8)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (micro smoke runs)")
