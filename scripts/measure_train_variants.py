@@ -78,13 +78,20 @@ def run_variant(name: str, env_extra: dict, batch: int) -> float | None:
 
 
 def main():
+    # both modes are the TPU defaults now (promoted on the r04
+    # measurement, results/train_variants_r04.json) — the variants
+    # explicitly pin every gate so the matrix stays meaningful
     variants = [
-        ("baseline_b128", {}, 128),
-        ("cell_resid_bf16_b128", {"XNACALL_LSTM_CELL_RESID_BF16": "1"}, 128),
-        ("pallas_loss_b128", {"XNACALL_PALLAS_LOSS": "1"}, 128),
+        ("baseline_b128", {"XNACALL_LSTM_CELL_RESID_BF16": "0",
+                           "XNACALL_PALLAS_LOSS": "0"}, 128),
+        ("cell_resid_bf16_b128", {"XNACALL_LSTM_CELL_RESID_BF16": "1",
+                                  "XNACALL_PALLAS_LOSS": "0"}, 128),
+        ("pallas_loss_b128", {"XNACALL_LSTM_CELL_RESID_BF16": "0",
+                              "XNACALL_PALLAS_LOSS": "1"}, 128),
         ("both_b128", {"XNACALL_LSTM_CELL_RESID_BF16": "1",
                        "XNACALL_PALLAS_LOSS": "1"}, 128),
-        ("baseline_b256", {}, 256),
+        ("baseline_b256", {"XNACALL_LSTM_CELL_RESID_BF16": "0",
+                           "XNACALL_PALLAS_LOSS": "0"}, 256),
     ]
     results = {}
     for name, env_extra, batch in variants:

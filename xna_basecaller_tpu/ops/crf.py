@@ -78,15 +78,17 @@ def _logz_scan(scores, n_base: int, state_len: int, semiring: str = LOG):
 def _pallas_log_path(semiring: str) -> bool:
     """Route the Log-semiring recursions through the Pallas kernels on TPU.
 
-    Opt-in (XNACALL_PALLAS_LOSS=1): the XLA scans are adequate once the
-    gather VJP runs as a one-hot matmul (the scatter was the real cost),
-    and the extra Mosaic kernels push the train-step compile through this
-    environment's remote compile service past 10 minutes.  The kernels are
-    interpret-mode tested either way."""
+    Default ON: measured +11% on the flagship train step on v5e (2.64M ->
+    2.93M samples/s alone, 3.01M composed with the bf16 cell residuals —
+    results/train_variants_r04.json), with a ~11 s one-time compile cost
+    through this environment's remote compile service (absorbed by the
+    persistent compilation cache).  Opt out with XNACALL_PALLAS_LOSS=0 to
+    fall back to the XLA scans (whose gather VJP already runs as a one-hot
+    MXU matmul).  The kernels are interpret-mode tested either way."""
     if semiring != LOG:
         return False
     import os
-    if not os.environ.get("XNACALL_PALLAS_LOSS"):
+    if os.environ.get("XNACALL_PALLAS_LOSS", "1") == "0":
         return False
     from xna_basecaller_tpu.utils.platform import is_tpu
     return is_tpu()

@@ -25,14 +25,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 UNROLL = 2
 
-# Experiment flag: store the trainable forward's cell-state residuals in
-# the compute dtype (bf16) instead of f32 — halves the cs stream through
-# HBM in both directions at ~3e-3 relative error on the c-dependent
-# gradient terms (the in-kernel carries stay f32 either way).
+# Store the trainable forward's cell-state residuals in the compute
+# dtype (bf16) instead of f32 — halves the cs stream through HBM in both
+# directions at ~3e-3 relative error on the c-dependent gradient terms
+# (the in-kernel carries stay f32 either way), and shrinks the backward
+# working set enough for its UNROLL=2 path to engage at full batch tile.
+# Default ON (measured +2.5% train step on v5e on top of the Pallas CRF
+# loss, results/train_variants_r04.json); opt out with
+# XNACALL_LSTM_CELL_RESID_BF16=0 for f32-exact residuals.
 import os as _os  # noqa: E402
 
 _CELL_RESID_COMPUTE_DTYPE = _os.environ.get(
-    "XNACALL_LSTM_CELL_RESID_BF16", "0") == "1"
+    "XNACALL_LSTM_CELL_RESID_BF16", "1") == "1"
 
 
 def _auto_block_n(n: int, cap: int = 256) -> int:
