@@ -405,3 +405,23 @@ def test_ctc_loss_grad_matches_autodiff_scan():
     g_got = jax.grad(loss_ours)(scores)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_log_path_gate(monkeypatch):
+    """The Pallas CRF-loss routing is the TPU default with an env
+    opt-out (XNACALL_PALLAS_LOSS=0) and never engages off-TPU or in the
+    Max semiring (promotion measured in results/train_variants_r04.json)."""
+    from xna_basecaller_tpu.ops import crf as crf_mod
+    from xna_basecaller_tpu.utils import platform as plat
+
+    monkeypatch.setattr(plat, "is_tpu", lambda: True)
+    monkeypatch.delenv("XNACALL_PALLAS_LOSS", raising=False)
+    assert crf_mod._pallas_log_path(crf_mod.LOG) is True
+    monkeypatch.setenv("XNACALL_PALLAS_LOSS", "0")
+    assert crf_mod._pallas_log_path(crf_mod.LOG) is False
+    monkeypatch.setenv("XNACALL_PALLAS_LOSS", "1")
+    assert crf_mod._pallas_log_path(crf_mod.LOG) is True
+    assert crf_mod._pallas_log_path(crf_mod.MAX) is False
+    monkeypatch.setattr(plat, "is_tpu", lambda: False)
+    monkeypatch.delenv("XNACALL_PALLAS_LOSS", raising=False)
+    assert crf_mod._pallas_log_path(crf_mod.LOG) is False

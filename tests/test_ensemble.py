@@ -103,6 +103,53 @@ def test_soup_dir_is_mean_of_members(tmp_path):
     assert (soup / "config.toml").exists()
 
 
+def test_swa_checkpoint_is_tail_mean(tmp_path):
+    """The north-star chain's SWA candidate: weights_90 == mean of the
+    last-half epoch checkpoints, validated as just another epoch."""
+    import argparse
+    import importlib.util
+    import os
+
+    from xna_basecaller_tpu.core import config as config_lib
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    spec = importlib.util.spec_from_file_location(
+        "spliced_northstar",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "spliced_northstar.py"))
+    ns = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ns)
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=2))
+    wd = tmp_path / "run"
+    wd.mkdir()
+    config_lib.save(cfg, str(wd))
+    trees = {}
+    for e in (1, 2, 3, 4):
+        t = init_params(jax.random.key(e), cfg)
+        ckpt.save_tree(t, str(wd / f"weights_{e}.npz"))
+        trees[e] = t
+    args = argparse.Namespace(epochs=4)
+    ns._write_swa_checkpoint(args, str(wd))
+    out = wd / f"weights_{ns.SWA_EPOCH}.npz"
+    assert out.exists()
+    template = init_params(jax.random.key(0), cfg)
+    got = ckpt.load_tree(template, str(out))
+    # tail = epochs//2+1 .. epochs = {3, 4}
+    want = jax.tree.map(
+        lambda a, b: (np.asarray(a, np.float64)
+                      + np.asarray(b, np.float64)) / 2,
+        trees[3], trees[4])
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-7)
+    # idempotent; and the pseudo-epoch id guard refuses colliding runs
+    ns._write_swa_checkpoint(args, str(wd))
+    ns._write_swa_checkpoint(
+        argparse.Namespace(epochs=ns.SWA_EPOCH), str(tmp_path / "nope"))
+    assert not (tmp_path / "nope").exists()
+
+
 def test_basecall_and_eval_accepts_workdir_list(tmp_path):
     """tools.eval_model.basecall_and_eval loads an ensemble from a list
     of model dirs (same architecture)."""
