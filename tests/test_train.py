@@ -222,3 +222,28 @@ def test_merge_ctc_dirs_hybrid(tmp_path):
     n2 = merge_ctc_dirs(str(tmp_path / "mix2"), str(tmp_path / "dna"),
                         str(tmp_path / "xna"), limits=[3, None])
     assert n2 == 7
+
+
+def test_resume_ignores_reserved_pseudo_epochs(tmp_path):
+    """weights_90 (SWA candidate) and weights_99 (best-epoch alias) are
+    selection artifacts, not training progress: resume must pick the
+    highest REAL epoch, while inference "latest" loading still sees the
+    alias (reference util.py:261 loads the consolidated best)."""
+    import jax
+
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=1))
+    p = init_params(jax.random.key(0), cfg)
+    for e in (1, 2):
+        ckpt.save_checkpoint(str(tmp_path), e, p, save_optim=False)
+    ckpt.save_tree(p, str(tmp_path / "weights_90.npz"))
+    ckpt.link_best_epoch(str(tmp_path), 2)
+
+    assert ckpt.latest_epoch(str(tmp_path)) == 99          # inference view
+    assert ckpt.latest_epoch(str(tmp_path),
+                             exclude_reserved=True) == 2   # resume view
+    epoch, _, _ = ckpt.load_checkpoint(str(tmp_path), p)
+    assert epoch == 2

@@ -77,13 +77,26 @@ def save_checkpoint(workdir: str, epoch: int, params,
         save_tree(opt_state, os.path.join(workdir, f"optim_{epoch}.npz"))
 
 
+# Pseudo-epoch ids that are candidates/aliases, not training progress:
+# 99 = best-epoch symlink (link_best_epoch, reference consolidate
+# semantics), 90 = the north-star chain's SWA tail-average candidate.
+# Inference "latest" loading includes them on purpose (loading the
+# consolidated best is the reference's util.py:261 behavior); training
+# RESUME must ignore them or an epoch-extension run on a consolidated
+# dir reports "already trained to epoch 99".
+RESERVED_EPOCHS = frozenset({90, 99})
+
+
 def _epochs(workdir: str, prefix: str) -> set[int]:
     files = glob(os.path.join(workdir, f"{prefix}_*.npz"))
     return {int(re.sub(r".*_([0-9]+)\.npz", r"\1", f)) for f in files}
 
 
-def latest_epoch(workdir: str, with_optim: bool = False) -> int | None:
+def latest_epoch(workdir: str, with_optim: bool = False,
+                 exclude_reserved: bool = False) -> int | None:
     weights = _epochs(workdir, "weights")
+    if exclude_reserved:
+        weights -= RESERVED_EPOCHS
     if with_optim:
         weights &= _epochs(workdir, "optim")
     return max(weights, default=None)
@@ -93,11 +106,13 @@ def load_checkpoint(workdir: str, params_template, opt_template=None,
                     epoch: int | None = None):
     """Resume state: returns (epoch, params, opt_state or None).
 
-    epoch=None picks the latest (max common with optim if opt_template
-    given, reference training.py:32-43); epoch=0 if nothing to load.
+    epoch=None picks the latest real epoch (max common with optim if
+    opt_template given, reference training.py:32-43), never a reserved
+    pseudo-epoch; epoch=0 if nothing to load.
     """
     if epoch is None:
-        epoch = latest_epoch(workdir, with_optim=opt_template is not None)
+        epoch = latest_epoch(workdir, with_optim=opt_template is not None,
+                             exclude_reserved=True)
     if epoch is None:
         return 0, params_template, opt_template
     params = load_tree(
