@@ -20,11 +20,32 @@ out = os.path.join(repo, "results", args.name)
 os.makedirs(out, exist_ok=True)
 
 
+_copied = set()
+
+
 def cp(src, dst=None):
+    """Copy src to the results dir; first writer of a destination wins
+    (with winner_dir absent the glob fallbacks can hit several stale
+    membership-keyed ensemble/soup dirs — the sorted-first one must not
+    be silently overwritten by later matches)."""
+    dst = dst or os.path.basename(src)
+    if dst in _copied:
+        return False
     if os.path.exists(src):
-        shutil.copy(src, os.path.join(out, dst or os.path.basename(src)))
+        shutil.copy(src, os.path.join(out, dst))
+        _copied.add(dst)
         return True
     return False
+
+
+def _dir_tag(path):
+    """'spliced_model_s25' -> '_s25', 'soup_x' -> '_soup_x', '' for the
+    plain single-seed dir — always separator-prefixed, matching the
+    'training_s25.csv' convention."""
+    tag = os.path.basename(path).replace("spliced_model", "")
+    if tag and not tag.startswith(("_", "-")):
+        tag = "_" + tag
+    return tag
 
 
 summary_path = os.path.join(args.run_dir, "northstar_summary.json")
@@ -36,8 +57,7 @@ summary = json.load(open(summary_path)) if os.path.exists(summary_path) \
 seed_dirs = sorted(glob(os.path.join(args.run_dir, "spliced_model_s*"))) \
     or [os.path.join(args.run_dir, "spliced_model")]
 for sd in seed_dirs:
-    tag = os.path.basename(sd).replace("spliced_model", "") or ""
-    cp(os.path.join(sd, "training.csv"), f"training{tag}.csv")
+    cp(os.path.join(sd, "training.csv"), f"training{_dir_tag(sd)}.csv")
 
 # the winner's basecall/eval artifact chain: prefer the explicitly
 # recorded dir (globs can hit stale membership-keyed ensemble/soup dirs
@@ -57,7 +77,8 @@ else:
 for key, exp, tag in (("val", "CPLX", "val"), ("test", "CPLX", "test"),
                       ("test-ind", "CPLX", "test-ind"),
                       ("POC-test", "POC", "test"),
-                      ("val", "POC", "val"), ("test", "POC", "test")):
+                      ("val", "POC", "val"), ("test", "POC", "test"),
+                      ("test-ind", "POC", "test-ind")):
     for win in win_bases:
         for base in (os.path.join(win, "basecalls"),
                      os.path.join(win, f"basecalls-{key}"),
@@ -70,7 +91,6 @@ for key, exp, tag in (("val", "CPLX", "val"), ("test", "CPLX", "test"),
 # per-seed val consolidation + per-epoch chain logs if present
 for sd in seed_dirs + win_bases:
     for name in ("validation_chain.log", "consolidated.csv"):
-        tag = os.path.basename(sd).replace("spliced_model", "") or ""
-        cp(os.path.join(sd, name), f"{os.path.splitext(name)[0]}{tag}"
-                                   f"{os.path.splitext(name)[1]}")
+        stem, ext = os.path.splitext(name)
+        cp(os.path.join(sd, name), f"{stem}{_dir_tag(sd)}{ext}")
 print("collected into", out)

@@ -311,6 +311,9 @@ def phase_d_validate(args, workdir, val_reads):
               if e == SWA_EPOCH
               or (e >= args.val_from
                   and (e % args.val_every == 0 or e == last))]
+    import jax
+    from xna_basecaller_tpu.models.crf_model import init_params
+    template = None  # built once, on the first epoch that needs a decode
     fastq_per_epoch = {}
     for epoch in epochs:
         out_dir = os.path.join(workdir, f"basecalls-weights_{epoch}")
@@ -319,11 +322,10 @@ def phase_d_validate(args, workdir, val_reads):
         fastq_per_epoch[epoch] = fq
         if os.path.exists(fq) and os.path.getsize(fq):
             continue
-        import jax
-        from xna_basecaller_tpu.models.crf_model import init_params
+        if template is None:
+            template = init_params(jax.random.key(0), cfg)
         params = ckpt.load_tree(
-            init_params(jax.random.key(0), cfg),
-            os.path.join(workdir, f"weights_{epoch}.npz"))
+            template, os.path.join(workdir, f"weights_{epoch}.npz"))
         t0 = time.time()
         from xna_basecaller_tpu.utils.fileio import atomic_output
         with atomic_output(fq) as fh:

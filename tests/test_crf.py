@@ -417,8 +417,9 @@ def test_pallas_log_path_gate(monkeypatch):
     monkeypatch.setattr(plat, "is_tpu", lambda: True)
     monkeypatch.delenv("XNACALL_PALLAS_LOSS", raising=False)
     assert crf_mod._pallas_log_path(crf_mod.LOG) is True
-    monkeypatch.setenv("XNACALL_PALLAS_LOSS", "0")
-    assert crf_mod._pallas_log_path(crf_mod.LOG) is False
+    for off in ("0", "false", "No", "OFF", ""):
+        monkeypatch.setenv("XNACALL_PALLAS_LOSS", off)
+        assert crf_mod._pallas_log_path(crf_mod.LOG) is False, off
     monkeypatch.setenv("XNACALL_PALLAS_LOSS", "1")
     assert crf_mod._pallas_log_path(crf_mod.LOG) is True
     assert crf_mod._pallas_log_path(crf_mod.MAX) is False

@@ -205,8 +205,6 @@ def save(cfg: ModelConfig | dict, path: str) -> None:
     leave a truncated file that parses wrong or skips a phase."""
     if os.path.isdir(path):
         path = os.path.join(path, "config.toml")
-    tmp = os.path.join(os.path.dirname(path) or ".",
-                       ".tmp-" + os.path.basename(path))
-    with open(tmp, "w") as fh:
+    from xna_basecaller_tpu.utils.fileio import atomic_output
+    with atomic_output(path) as fh:
         fh.write(dumps(cfg))
-    os.replace(tmp, path)

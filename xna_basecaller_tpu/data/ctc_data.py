@@ -55,12 +55,10 @@ def load_numpy_datasets(directory: str, limit: int | None = None,
 def atomic_np_save(path: str, arr) -> None:
     """np.save via tmp-file + rename: a process killed mid-write (tunnel
     drop, watchdog) must never leave a truncated .npy that a resumed
-    chain mistakes for a complete artifact.  Prefixed tmp name so no
-    "*.npy"-shaped glob can ever match a leftover."""
-    tmp = os.path.join(os.path.dirname(path) or ".",
-                       ".tmp-" + os.path.basename(path))
-    np.save(tmp, arr)
-    os.replace(tmp, path)
+    chain mistakes for a complete artifact."""
+    from xna_basecaller_tpu.utils.fileio import atomic_output
+    with atomic_output(path, "wb") as fh:
+        np.save(fh, arr)
 
 
 def save_ctc_data(directory: str, chunks, targets, lengths,

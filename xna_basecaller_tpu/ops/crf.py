@@ -87,10 +87,9 @@ def _pallas_log_path(semiring: str) -> bool:
     MXU matmul).  The kernels are interpret-mode tested either way."""
     if semiring != LOG:
         return False
-    import os
-    if os.environ.get("XNACALL_PALLAS_LOSS", "1") == "0":
+    from xna_basecaller_tpu.utils.platform import env_flag, is_tpu
+    if not env_flag("XNACALL_PALLAS_LOSS", True):
         return False
-    from xna_basecaller_tpu.utils.platform import is_tpu
     return is_tpu()
 
 

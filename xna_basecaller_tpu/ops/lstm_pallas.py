@@ -33,10 +33,9 @@ UNROLL = 2
 # Default ON (measured +2.5% train step on v5e on top of the Pallas CRF
 # loss, results/train_variants_r04.json); opt out with
 # XNACALL_LSTM_CELL_RESID_BF16=0 for f32-exact residuals.
-import os as _os  # noqa: E402
+from xna_basecaller_tpu.utils.platform import env_flag as _env_flag  # noqa: E402,E501
 
-_CELL_RESID_COMPUTE_DTYPE = _os.environ.get(
-    "XNACALL_LSTM_CELL_RESID_BF16", "1") == "1"
+_CELL_RESID_COMPUTE_DTYPE = _env_flag("XNACALL_LSTM_CELL_RESID_BF16", True)
 
 
 def _auto_block_n(n: int, cap: int = 256) -> int:

@@ -54,13 +54,12 @@ def save_tree(tree, path: str) -> None:
     trainings and chains — a kill mid-save must not leave a truncated
     archive that a relaunch mistakes for a complete checkpoint.
 
-    The tmp name is PREFIXED (".tmp-weights_N.npz"): a suffixed
-    "weights_N.npz.tmp.npz" would match the "weights_*.npz" resume
-    globs and crash every relaunch on the leftover."""
-    tmp = os.path.join(os.path.dirname(path) or ".",
-                       ".tmp-" + os.path.basename(path))
-    np.savez(tmp, **_flatten(tree))
-    os.replace(tmp, path)
+    The tmp name is PREFIXED (".tmp-weights_N.npz", via atomic_output):
+    a suffixed "weights_N.npz.tmp.npz" would match the "weights_*.npz"
+    resume globs and crash every relaunch on the leftover."""
+    from xna_basecaller_tpu.utils.fileio import atomic_output
+    with atomic_output(path, "wb") as fh:
+        np.savez(fh, **_flatten(tree))
 
 
 def load_tree(template, path: str):
@@ -96,7 +95,13 @@ def latest_epoch(workdir: str, with_optim: bool = False,
                  exclude_reserved: bool = False) -> int | None:
     weights = _epochs(workdir, "weights")
     if exclude_reserved:
-        weights -= RESERVED_EPOCHS
+        # A reserved id is only excluded when it stands alone: a REAL
+        # >=90-epoch training saves every epoch, so weights_90 with
+        # weights_89 beside it is genuine progress and must resume
+        # (the SWA/alias artifacts appear in dirs whose real epochs
+        # are far below 90).
+        weights -= {r for r in RESERVED_EPOCHS & weights
+                    if r - 1 not in weights}
     if with_optim:
         weights &= _epochs(workdir, "optim")
     return max(weights, default=None)

@@ -9,6 +9,21 @@ import sys
 import jax
 
 
+def env_flag(name: str, default: bool) -> bool:
+    """Boolean env gate with uniform parsing across every XNACALL gate:
+    '0', 'false', 'no', 'off' (case-insensitive) and the empty string
+    disable; any other value enables; unset -> ``default``.
+
+    The promoted default-ON training gates (XNACALL_PALLAS_LOSS,
+    XNACALL_LSTM_CELL_RESID_BF16) previously parsed opposite ways
+    ('anything-but-0' vs 'only-1'), so `=false` half-disabled the
+    pair."""
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() not in ("0", "false", "no", "off", "")
+
+
 def ensure_tunnel_journal_compact() -> None:
     """Re-exec once with AXON_JOURNAL_COMPACT=1 when running under the
     tunneled TPU environment without it.
