@@ -247,3 +247,63 @@ def test_resume_ignores_reserved_pseudo_epochs(tmp_path):
                              exclude_reserved=True) == 2   # resume view
     epoch, _, _ = ckpt.load_checkpoint(str(tmp_path), p)
     assert epoch == 2
+
+
+def test_train_step_multi_matches_sequential(tmp_path):
+    """One train_step_multi dispatch (lax.scan over K stacked batches)
+    must produce the same params/losses as K sequential train_step
+    calls with the same per-step dropout rngs."""
+    import jax.numpy as jnp
+
+    from xna_basecaller_tpu.train import loop
+
+    model = tiny_model()
+    cfg = model.cfg
+    K, B = 3, 4
+    rng = np.random.default_rng(0)
+    cs = rng.normal(size=(K, B, 600)).astype(np.float32)
+    ts = rng.integers(1, 7, size=(K, B, 40)).astype(np.int32)
+    ls = np.full((K, B), 40, np.int32)
+    optimizer = loop.make_optimizer(lambda _: 1e-3)
+    base_rng = jax.random.key(7)
+
+    p_seq = model.init(jax.random.key(0))
+    s_seq = optimizer.init(p_seq)
+    seq_losses = []
+    for i in range(K):
+        p_seq, s_seq, loss, _ = loop.train_step(
+            p_seq, s_seq, cs[i], ts[i], ls[i], cfg, optimizer,
+            dropout_rng=jax.random.fold_in(base_rng, i))
+        seq_losses.append(float(loss))
+
+    p_multi = model.init(jax.random.key(0))
+    s_multi = optimizer.init(p_multi)
+    p_multi, s_multi, losses, gns = loop.train_step_multi(
+        p_multi, s_multi, jnp.asarray(cs), jnp.asarray(ts),
+        jnp.asarray(ls), jnp.arange(K, dtype=jnp.int32), base_rng,
+        cfg, optimizer)
+    assert losses.shape == (K,) and gns.shape == (K,)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_multi)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_trainer_steps_per_dispatch(tmp_path):
+    """Trainer with steps_per_dispatch=2 trains the same number of steps
+    (CSV rows) and still learns; leftover batches fall back to single
+    dispatches."""
+    model = tiny_model()
+    train, valid = make_datasets()  # 12 train chunks -> 3 batches of 4
+    tr = Trainer(model, train, valid, batchsize=4, lr=2e-3,
+                 warmup_steps=3, steps_per_dispatch=2,
+                 log=lambda *a: None)
+    out = tr.fit(str(tmp_path), epochs=2)
+    import csv as _csv
+    with open(tmp_path / "losses_1.csv") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert len(rows) == 3  # one K=2 dispatch + one leftover single
+    losses = [h["validation_loss"] for h in out["history"]]
+    assert losses[-1] < losses[0] * 1.5

@@ -103,6 +103,7 @@ def main(args):
         restore_optim=args.restore_optim,
         save_optim_every=args.save_optim_every,
         grad_accum_split=args.grad_accum_split,
+        steps_per_dispatch=args.steps_per_dispatch,
         frozen_predicate=frozen_predicate,
     )
     if params0 is not None:
@@ -134,6 +135,8 @@ def argparser():
     parser.add_argument("--chunks", default=0, type=int)
     parser.add_argument("--valid-chunks", default=0, type=int)
     parser.add_argument("--grad-accum-split", default=1, type=int)
+    parser.add_argument("--steps-per-dispatch", default=1, type=int,
+                        help="stack K batches per device execution (one lax.scan dispatch runs K optimisation steps; amortises per-dispatch relay cost on tunneled runtimes; CRF models only)")
     parser.add_argument("--restore-optim", action="store_true")
     parser.add_argument("--save-optim-every", default=10, type=int)
     parser.add_argument("--profile", default=None, metavar="DIR",

@@ -42,6 +42,19 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] step-stacks: steps on axis 0 (scanned in-jit, every
+    device sees every step), batch sharded on axis 1."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(mesh: Mesh, *arrays):
+    """Place [K, B, ...] host stacks on the mesh, batch axis sharded."""
+    sh = stacked_batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)

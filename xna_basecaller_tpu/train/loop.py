@@ -47,26 +47,11 @@ def make_optimizer(lr_schedule, weight_decay: float = 1e-2):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "optimizer", "compute_dtype",
-                                   "grad_accum_split"),
-         donate_argnames=("params", "opt_state"))
-def train_step(params, opt_state, chunks, targets, lengths,
-               cfg, optimizer, compute_dtype=jnp.bfloat16,
-               grad_accum_split: int = 1, dropout_rng=None):
-    """One optimisation step; returns (params, opt_state, loss, grad_norm).
-
-    ``grad_accum_split`` > 1 runs the batch as micro-batches with summed
-    gradients and a single update (reference training.py:91-110).
-
-    Legacy CTC (QuartzNet) configs delegate to the CTC family's step,
-    which also maintains batchnorm running stats (no accum support there).
-    """
-    if cfg.is_ctc:
-        from xna_basecaller_tpu.models import ctc_model
-        return ctc_model.train_step(
-            params, opt_state, chunks, targets, lengths, cfg, optimizer,
-            dropout_rng=dropout_rng)
-
+def _crf_step_body(params, opt_state, chunks, targets, lengths,
+                   cfg, optimizer, compute_dtype, grad_accum_split,
+                   dropout_rng):
+    """Un-jitted CRF step math shared by train_step (one dispatch per
+    step) and train_step_multi (lax.scan over a step-stack)."""
     use_dropout = (cfg.encoder.drop_rate > 0
                    or cfg.encoder.drop_rate_bottom > 0)
 
@@ -109,6 +94,66 @@ def train_step(params, opt_state, chunks, targets, lengths,
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss, grad_norm
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "compute_dtype",
+                                   "grad_accum_split"),
+         donate_argnames=("params", "opt_state"))
+def train_step(params, opt_state, chunks, targets, lengths,
+               cfg, optimizer, compute_dtype=jnp.bfloat16,
+               grad_accum_split: int = 1, dropout_rng=None):
+    """One optimisation step; returns (params, opt_state, loss, grad_norm).
+
+    ``grad_accum_split`` > 1 runs the batch as micro-batches with summed
+    gradients and a single update (reference training.py:91-110).
+
+    Legacy CTC (QuartzNet) configs delegate to the CTC family's step,
+    which also maintains batchnorm running stats (no accum support there).
+    """
+    if cfg.is_ctc:
+        from xna_basecaller_tpu.models import ctc_model
+        return ctc_model.train_step(
+            params, opt_state, chunks, targets, lengths, cfg, optimizer,
+            dropout_rng=dropout_rng)
+    return _crf_step_body(params, opt_state, chunks, targets, lengths,
+                          cfg, optimizer, compute_dtype, grad_accum_split,
+                          dropout_rng)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "compute_dtype",
+                                   "grad_accum_split"),
+         donate_argnames=("params", "opt_state"))
+def train_step_multi(params, opt_state, chunks, targets, lengths,
+                     step_ids, base_rng, cfg, optimizer,
+                     compute_dtype=jnp.bfloat16,
+                     grad_accum_split: int = 1):
+    """K optimisation steps in ONE device execution (lax.scan over the
+    leading step axis of [K, B, ...] stacks).
+
+    The training analog of the inference superbatch: through a tunneled
+    runtime every dispatch pays a relay round-trip, so stacking K steps
+    amortises it K-fold while keeping the math identical to K sequential
+    train_step calls (same per-step dropout rngs via fold_in(base_rng,
+    step_id); the optimizer's schedule steps through opt_state's own
+    count).  CRF models only — the legacy CTC step mutates batchnorm
+    stats and stays per-dispatch.
+
+    Returns (params, opt_state, losses [K], grad_norms [K]).
+    """
+    assert not cfg.is_ctc, "train_step_multi supports CRF configs only"
+
+    def body(carry, xs):
+        p, s = carry
+        c, t, l, sid = xs
+        rng = jax.random.fold_in(base_rng, sid)
+        p, s, loss, gn = _crf_step_body(
+            p, s, c, t, l, cfg, optimizer, compute_dtype,
+            grad_accum_split, rng)
+        return (p, s), (loss, gn)
+
+    (params, opt_state), (losses, grad_norms) = jax.lax.scan(
+        body, (params, opt_state), (chunks, targets, lengths, step_ids))
+    return params, opt_state, losses, grad_norms
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
@@ -167,6 +212,7 @@ class Trainer:
     save_optim_every: int = 10
     restore_optim: bool = False
     grad_accum_split: int = 1
+    steps_per_dispatch: int = 1
     compute_dtype: Any = jnp.bfloat16
     seed: int = 25
     frozen_predicate: Callable | None = None
@@ -247,27 +293,57 @@ class Trainer:
             # batch k+1 overlap with step k's dispatch
             from xna_basecaller_tpu.utils.pipeline import thread_iter
 
+            # steps_per_dispatch > 1 stacks K consecutive batches and
+            # runs them as one lax.scan dispatch (train_step_multi):
+            # same math, 1/K the relay round-trips.  CTC stays 1 (its
+            # step mutates batchnorm stats outside the scanned carry).
+            K = (self.steps_per_dispatch
+                 if not self.model.cfg.is_ctc else 1)
+            base_rng = jax.random.key(self.seed)
+
             def _prefetched():
+                group = []
                 for batch in self.train_data.batches(
                         self.batchsize, shuffle=True,
                         seed=self.seed + epoch, drop_last=True):
-                    yield batch[0].shape[0], self._shard(batch)
+                    if K <= 1:
+                        yield 1, batch[0].shape[0], self._shard(batch)
+                        continue
+                    group.append(batch)
+                    if len(group) == K:
+                        n = sum(b[0].shape[0] for b in group)
+                        yield K, n, self._shard_stack(group)
+                        group = []
+                for batch in group:  # leftover < K: single dispatches
+                    yield 1, batch[0].shape[0], self._shard(batch)
 
-            for n_in_batch, (c, t, l) in thread_iter(_prefetched(),
-                                                     maxsize=2):
-                params, opt_state, loss, grad_norm = train_step(
-                    params, opt_state, c, t, l, self.model.cfg,
-                    optimizer, self.compute_dtype,
-                    self.grad_accum_split,
-                    jax.random.fold_in(jax.random.key(self.seed), step))
+            for k, n_in_batch, arrs in thread_iter(_prefetched(),
+                                                   maxsize=2):
+                if k == 1:
+                    c, t, l = arrs
+                    params, opt_state, loss, grad_norm = train_step(
+                        params, opt_state, c, t, l, self.model.cfg,
+                        optimizer, self.compute_dtype,
+                        self.grad_accum_split,
+                        jax.random.fold_in(base_rng, step))
+                    stats_k = [(loss, grad_norm)]
+                else:
+                    c, t, l = arrs
+                    step_ids = jnp.arange(step, step + k, dtype=jnp.int32)
+                    params, opt_state, losses, gns = train_step_multi(
+                        params, opt_state, c, t, l, step_ids, base_rng,
+                        self.model.cfg, optimizer, self.compute_dtype,
+                        self.grad_accum_split)
+                    stats_k = [(losses[i], gns[i]) for i in range(k)]
                 chunks_seen += n_in_batch
-                dev_stats.append((loss, grad_norm))
-                rows.append({
-                    "chunks": chunks_seen,
-                    "time": perf_counter() - t0,
-                    "lr": float(schedule(step)),
-                })
-                step += 1
+                for loss, grad_norm in stats_k:
+                    dev_stats.append((loss, grad_norm))
+                    rows.append({
+                        "chunks": chunks_seen,
+                        "time": perf_counter() - t0,
+                        "lr": float(schedule(step)),
+                    })
+                    step += 1
             losses = np.asarray(jnp.stack([s[0] for s in dev_stats]))
             grad_norms = np.asarray(jnp.stack([s[1] for s in dev_stats]))
             smoothed = None
@@ -323,6 +399,15 @@ class Trainer:
         padded = [mesh_lib.pad_to_multiple(np.asarray(a), n_dev)[0]
                   for a in batch]
         return mesh_lib.shard_batch(self.mesh, *padded)
+
+    def _shard_stack(self, batches):
+        """[K, B, ...] stacks for train_step_multi, batch axis sharded."""
+        n_dev = len(self.mesh.devices.flat)
+        padded = [[mesh_lib.pad_to_multiple(np.asarray(a), n_dev)[0]
+                   for a in b] for b in batches]
+        stacks = [np.stack([p[i] for p in padded])
+                  for i in range(len(padded[0]))]
+        return mesh_lib.shard_stacked_batch(self.mesh, *stacks)
 
     def validate(self, params, max_batches: int | None = None):
         """Chunk-level validation: loss + decode accuracy vs targets
