@@ -37,6 +37,14 @@ from xna_basecaller_tpu.utils.platform import env_flag as _env_flag  # noqa: E40
 
 _CELL_RESID_COMPUTE_DTYPE = _env_flag("XNACALL_LSTM_CELL_RESID_BF16", True)
 
+# Inference recurrence unroll override (experiment knob): U=4 keeps the
+# same total grid size at BN=128 (vs U=2 at BN=256) but halves the
+# Mosaic per-grid-step overhead again at the cost of half-width hidden
+# matmuls.  Measured per-hardware; default stays UNROLL (=2).
+import os as _os  # noqa: E402
+
+_INFER_UNROLL = int(_os.environ.get("XNACALL_LSTM_UNROLL", str(UNROLL)))
+
 
 def _auto_block_n(n: int, cap: int = 256) -> int:
     """Largest power-of-two-ish batch tile <= cap dividing n.
@@ -96,7 +104,10 @@ def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None,
         xp = jnp.concatenate(
             [xp, jnp.zeros((pad, N, H4), xp.dtype)], axis=0)
     Tp = T + pad
-    BN = block_n or _auto_block_n(N)
+    # U>2 doubles the double-buffered xp block residency: cap the batch
+    # tile at 128 so the working set stays inside the ~16MB VMEM budget
+    # (same arithmetic as the trainable forward's U=2 cap).
+    BN = block_n or _auto_block_n(N, cap=256 if unroll <= 2 else 128)
     # bf16 hidden scratch when the compute dtype is half-precision; f32
     # cell state always (accuracy of the long recurrence).
     h_dtype = jnp.bfloat16 if xp.dtype != jnp.float32 else jnp.float32
@@ -130,7 +141,7 @@ def lstm_forward_pallas(params, x, reverse: bool = False):
     xp = (jnp.einsum("tni,ih->tnh", x, params["w_ih"],
                      preferred_element_type=jnp.float32)
           + params["bias"]).astype(x.dtype)
-    ys = lstm_recurrence_pallas(xp, params["w_hh"])
+    ys = lstm_recurrence_pallas(xp, params["w_hh"], unroll=_INFER_UNROLL)
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return ys
