@@ -3,7 +3,15 @@
 Runs the flagship model (conv + 5x LSTM(768) + 6-base CRF, the reference's
 xna_r9.4.1_e8_sup@v3.3 architecture) through the full basecall pipeline —
 chunk(3600, overlap 500) -> batched forward -> CRF posterior+Viterbi decode
--> stitch — over synthetic nanopore reads, and prints ONE JSON line.
+-> stitch — over synthetic nanopore reads.
+
+Emission contract (driver-robust): a complete JSON result line is printed
+to stdout after EVERY completed stage, each line superseding the previous
+one — so a timeout/kill at any point still leaves the latest complete
+result as the LAST line of stdout.  The final line carries
+``"partial": false``.  The whole run observes a wall budget
+(XNACALL_BENCH_BUDGET_S, default 900 s): stages that would start past the
+budget are skipped with their fields left at 0.
 
 The reference publishes no absolute throughput number (samples/s is
 self-reported at runtime, reference cli/basecaller.py:161); vs_baseline is
@@ -29,6 +37,56 @@ from xna_basecaller_tpu.utils.platform import (  # noqa: E402
 
 ensure_tunnel_journal_compact()
 
+_T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("XNACALL_BENCH_BUDGET_S", "900"))
+
+RESULT = {
+    "metric": "basecalled_samples_per_s_per_chip",
+    "value": 0.0,
+    "unit": "samples/s",
+    "vs_baseline": 0.0,
+    "mode": "f16/bf16",
+    "partial": True,
+    "f16_samples_per_s_per_chip": 0.0,
+    "pure_device_samples_per_s_per_chip": 0.0,
+    "pure_device_f16_samples_per_s_per_chip": 0.0,
+    "pure_device_int8_samples_per_s_per_chip": 0.0,
+    "quantized_samples_per_s_per_chip": 0.0,
+    "train_samples_per_s_per_chip": 0.0,
+    "stitch_augment_samples_per_s_per_chip": 0.0,
+}
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T_START
+
+
+def _remaining() -> float:
+    return _BUDGET_S - _elapsed()
+
+
+def _emit():
+    """Print the current full result as one JSON line (latest line wins)."""
+    print(json.dumps(RESULT), flush=True)
+
+
+def _set_headline(value: float, mode: str):
+    if value > RESULT["value"]:
+        RESULT["value"] = round(value, 1)
+        RESULT["vs_baseline"] = round(value / BASELINE_SAMPLES_PER_S, 4)
+        RESULT["mode"] = mode
+
+
+def _stage(name: str, min_budget_s: float):
+    """True when the stage may start: budget-aware skip with a log line."""
+    if _remaining() < min_budget_s:
+        print(f"[bench] SKIP {name}: {_remaining():.0f}s left < "
+              f"{min_budget_s:.0f}s needed", file=sys.stderr)
+        return False
+    print(f"[bench] stage {name} (t={_elapsed():.0f}s, "
+          f"budget left {_remaining():.0f}s)", file=sys.stderr)
+    return True
+
 
 def main():
     import jax
@@ -39,7 +97,6 @@ def main():
     from xna_basecaller_tpu.infer.basecall import (
         compute_scores, run_basecaller,
     )
-    from xna_basecaller_tpu.models import crf_model
     from xna_basecaller_tpu.models.crf_model import Model
 
     cfg = ModelConfig()
@@ -48,10 +105,16 @@ def main():
     overlap = 500
     model = Model(cfg)
     params = model.init(jax.random.key(0))
-    print(f"[bench] devices={jax.devices()} params={model.n_params(params):,}",
-          file=sys.stderr)
+    print(f"[bench] devices={jax.devices()} params={model.n_params(params):,}"
+          f" budget={_BUDGET_S:.0f}s", file=sys.stderr)
+    # A zeroed-but-parseable line before the (potentially minutes-long,
+    # cold-cache) warmup compile: even a timeout inside warmup leaves a
+    # valid JSON tail for the driver.
+    _emit()
 
-    # Warm up compiles outside the timed region (one padded batch).
+    # Warm up the core forward+decode compile outside the timed region
+    # (one padded batch, the real batch shape only — the persistent
+    # compile cache makes this seconds when warm, minutes when cold).
     warm = np.zeros((batchsize, chunksize), np.float32)
     t0 = time.perf_counter()
     compute_scores(model, params, warm)
@@ -66,21 +129,11 @@ def main():
     print(f"[bench] {len(reads)} reads, {total_samples:,} samples",
           file=sys.stderr)
 
-    # The tunneled device's dispatch/transfer latency fluctuates heavily
-    # run-to-run; report the best of three passes (machine capability,
-    # not relay weather).
     profile_dir = os.environ.get("XNACALL_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    # superbatch G stacks G batches per device execution (fewer
-    # executions through the relay, bigger MXU matmuls); tunable via
-    # XNACALL_BENCH_SUPERBATCH, best-of over passes either way
-    G = int(os.environ.get("XNACALL_BENCH_SUPERBATCH", "4"))
-    best = None
-    # first G pass pays the superbatch compile; keep two clean steady
-    # passes after it (a single one regularly under-reads by ~10% on the
-    # fluctuating relay)
-    for i, g in enumerate((1, G, G, G) if G > 1 else (1, 1, 1)):
+
+    def _one_pass(i, g):
         fq = io.StringIO()
         stats = run_basecaller(
             model, params, iter(reads), fq, None,
@@ -89,11 +142,33 @@ def main():
         print(f"[bench] pass {i} (superbatch={g}): {stats['reads']} reads "
               f"in {stats['seconds']:.2f}s "
               f"({stats['samples_per_s']:.2e} samples/s)", file=sys.stderr)
-        if best is None or stats["samples_per_s"] > best["samples_per_s"]:
-            best = stats
-    stats = best
-    if profile_dir:
-        jax.profiler.stop_trace()
+        return stats["samples_per_s"]
+
+    # Pass 1 (superbatch=1) reuses the warmed compile: the FIRST timed
+    # number, emitted immediately so any later timeout still leaves a
+    # valid headline.
+    sps = _one_pass(0, 1)
+    RESULT["f16_samples_per_s_per_chip"] = round(sps, 1)
+    _set_headline(sps, "f16/bf16")
+    _emit()
+
+    # superbatch G stacks G batches per device execution (fewer
+    # executions through the relay, bigger MXU matmuls); tunable via
+    # XNACALL_BENCH_SUPERBATCH.  First G pass pays the superbatch
+    # compile; keep two clean steady passes after it (a single one
+    # regularly under-reads by ~10% on the fluctuating relay).  The
+    # tunneled device's dispatch/transfer latency fluctuates heavily
+    # run-to-run; report the best pass (machine capability, not relay
+    # weather).
+    G = int(os.environ.get("XNACALL_BENCH_SUPERBATCH", "4"))
+    if G > 1 and _stage(f"superbatch={G}", min_budget_s=240.0):
+        for i, g in enumerate((G, G, G), start=1):
+            sps = max(sps, _one_pass(i, g))
+            RESULT["f16_samples_per_s_per_chip"] = round(sps, 1)
+            _set_headline(sps, "f16/bf16")
+            _emit()
+            if _remaining() < 60.0:
+                break
 
     def _guard(name, fn, *a, **kw):
         # a sub-benchmark failure (e.g. a transient tunnel/HBM hiccup)
@@ -109,68 +184,73 @@ def main():
 
     # int8 quantized inference (--quantize): int8 signal uploads + int8
     # LSTM recurrence — the reference's koi int8 graph equivalent.  A
-    # validated production mode: accuracy parity on a trained model is
-    # committed in results/northstar_cplx_r04/quantize_check/.
-    def _quantized():
-        q_best = 0.0
-        for i in range(2):
-            q = run_basecaller(
-                model, params, iter(reads), io.StringIO(), None,
-                chunksize=chunksize, overlap=overlap, batchsize=batchsize,
-                quantize=True, superbatch=G)
-            q_best = max(q_best, q["samples_per_s"])
-        return q_best
-
-    q_best = _guard("quantized", _quantized)
-    print(f"[bench] quantized: {q_best:.2e} samples/s", file=sys.stderr)
-
-    # Pure device compute (forward + fused decode, no host pipeline/IO):
-    # the ceiling the pipeline is chasing (VERDICT round-1 weak #5 asked
-    # for this number to be captured in the BENCH artifact).  Measured in
-    # BOTH production modes — the f16/int8 delta here is the honest MXU
-    # story for the int8 mode (VERDICT r2 weak #2), free of transfer
-    # effects.
-    device_f16 = _guard("pure-device-f16", _pure_device_throughput,
-                        model, params, batchsize, chunksize, lstm_int8=False)
-    device_int8 = _guard("pure-device-int8", _pure_device_throughput,
-                         model, params, batchsize, chunksize, lstm_int8=True)
-    device_sps = max(device_f16, device_int8)
-    print(f"[bench] pure device: f16 {device_f16:.2e} / int8 "
-          f"{device_int8:.2e} samples/s", file=sys.stderr)
+    # validated production mode (accuracy parity committed in
+    # results/northstar_cplx_r04/quantize_check/), but measured SLOWER
+    # than bf16 on the v5e MXU (r4), hence after the pure-device stage
+    # in priority order.
+    if _stage("pure-device-f16", min_budget_s=180.0):
+        f16 = _guard("pure-device-f16", _pure_device_throughput,
+                     model, params, batchsize, chunksize, lstm_int8=False)
+        RESULT["pure_device_f16_samples_per_s_per_chip"] = round(f16, 1)
+        RESULT["pure_device_samples_per_s_per_chip"] = round(
+            max(f16, RESULT["pure_device_int8_samples_per_s_per_chip"]), 1)
+        print(f"[bench] pure device f16: {f16:.2e} samples/s",
+              file=sys.stderr)
+        _emit()
 
     # Training throughput: flagship step (fwd + CRF loss + bwd + AdamW) at
     # batch 128 (VERDICT round-1 item #2 asked for this line in BENCH).
-    train_sps = _guard("train", _train_throughput, model, params, cfg)
-    if train_sps:
-        print(f"[bench] train step: {128 * 3600 / train_sps * 1e3:.0f} ms "
-              f"({train_sps:.2e} train samples/s)", file=sys.stderr)
+    if _stage("train", min_budget_s=180.0):
+        train_sps = _guard("train", _train_throughput, model, params, cfg)
+        RESULT["train_samples_per_s_per_chip"] = round(train_sps, 1)
+        if train_sps:
+            print(f"[bench] train step: "
+                  f"{128 * 3600 / train_sps * 1e3:.0f} ms "
+                  f"({train_sps:.2e} train samples/s)", file=sys.stderr)
+        _emit()
+
+    if _stage("quantized", min_budget_s=240.0):
+        def _quantized():
+            q = 0.0
+            for _ in range(2):
+                s = run_basecaller(
+                    model, params, iter(reads), io.StringIO(), None,
+                    chunksize=chunksize, overlap=overlap,
+                    batchsize=batchsize, quantize=True, superbatch=G)
+                q = max(q, s["samples_per_s"])
+            return q
+
+        q_best = _guard("quantized", _quantized)
+        RESULT["quantized_samples_per_s_per_chip"] = round(q_best, 1)
+        print(f"[bench] quantized: {q_best:.2e} samples/s", file=sys.stderr)
+        _set_headline(q_best, "int8-quantized")
+        _emit()
+
+    if _stage("pure-device-int8", min_budget_s=180.0):
+        i8 = _guard("pure-device-int8", _pure_device_throughput,
+                    model, params, batchsize, chunksize, lstm_int8=True)
+        RESULT["pure_device_int8_samples_per_s_per_chip"] = round(i8, 1)
+        RESULT["pure_device_samples_per_s_per_chip"] = round(
+            max(i8, RESULT["pure_device_f16_samples_per_s_per_chip"]), 1)
+        print(f"[bench] pure device int8: {i8:.2e} samples/s",
+              file=sys.stderr)
+        _emit()
 
     # Device-side stitch augmentation throughput: the reference's spliced
     # training is CPU-worker-bound (README.md:116 recommends 32 workers);
     # here the splice runs as a jitted batch transform on the chip.
-    aug_sps = _guard("stitch-augment", _augment_throughput)
-    print(f"[bench] stitch augment: {aug_sps:.2e} samples/s",
-          file=sys.stderr)
+    if _stage("stitch-augment", min_budget_s=120.0):
+        aug_sps = _guard("stitch-augment", _augment_throughput)
+        RESULT["stitch_augment_samples_per_s_per_chip"] = round(aug_sps, 1)
+        print(f"[bench] stitch augment: {aug_sps:.2e} samples/s",
+              file=sys.stderr)
+        _emit()
 
-    # Headline = best full-pipeline production mode.  Both modes basecall
-    # raw signal end-to-end; the int8 mode's accuracy parity on a trained
-    # model is committed evidence (see above).
-    value = max(stats["samples_per_s"], q_best)
-    print(json.dumps({
-        "metric": "basecalled_samples_per_s_per_chip",
-        "value": round(value, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 4),
-        "mode": "int8-quantized" if q_best > stats["samples_per_s"]
-                else "f16/bf16",
-        "f16_samples_per_s_per_chip": round(stats["samples_per_s"], 1),
-        "pure_device_samples_per_s_per_chip": round(device_sps, 1),
-        "pure_device_f16_samples_per_s_per_chip": round(device_f16, 1),
-        "pure_device_int8_samples_per_s_per_chip": round(device_int8, 1),
-        "quantized_samples_per_s_per_chip": round(q_best, 1),
-        "train_samples_per_s_per_chip": round(train_sps, 1),
-        "stitch_augment_samples_per_s_per_chip": round(aug_sps, 1),
-    }))
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    RESULT["partial"] = False
+    _emit()
 
 
 def _pure_device_throughput(model, params, batchsize, chunksize,
@@ -276,7 +356,9 @@ def _train_throughput(model, params, cfg, batch: int = 128) -> float:
     lens = jax.device_put(np.full((batch,), 400, np.int32), dev)
     optimizer = loop.make_optimizer(lambda _: 5e-4)
     opt_state = jax.device_put(optimizer.init(jax.device_get(params)), dev)
-    params = jax.device_put(params, dev)
+    # train_step DONATES params: work on an on-device copy so the
+    # caller's tree stays alive for the stages that run after this one
+    params = jax.tree.map(jnp.copy, jax.device_put(params, dev))
 
     params, opt_state, loss, _ = loop.train_step(
         params, opt_state, c, t, lens, cfg, optimizer)

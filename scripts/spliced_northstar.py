@@ -146,18 +146,31 @@ def phase_b_bootstrap_data(args, boot_dir):
             n_in = 0
             # native SW/levenshtein release the GIL -> thread map scales
             from xna_basecaller_tpu.utils.pipeline import ordered_thread_map
-            for read, seq, rec in ordered_thread_map(
-                    _align,
-                    basecall(model, params, chunk_reads(), chunksize=3600,
-                             overlap=500, batchsize=args.batch),
-                    n_workers=args.n_proc, maxsize=8):
-                n_in += 1
-                if not seq:
-                    writer.add(read.signal, seq, None)
-                    continue
-                mapping = rec.as_dict() if rec else None
-                refseq = aligner.refseq(rec) if rec is not None else None
-                writer.add(read.signal, seq, mapping, refseq=refseq)
+            try:
+                for read, seq, rec in ordered_thread_map(
+                        _align,
+                        basecall(model, params, chunk_reads(),
+                                 chunksize=3600, overlap=500,
+                                 batchsize=args.batch),
+                        n_workers=args.n_proc, maxsize=8):
+                    n_in += 1
+                    if not seq:
+                        writer.add(read.signal, seq, None)
+                        continue
+                    mapping = rec.as_dict() if rec else None
+                    refseq = (aligner.refseq(rec) if rec is not None
+                              else None)
+                    writer.add(read.signal, seq, mapping, refseq=refseq)
+            except Exception:
+                # shard failures (e.g. a tunnel drop mid-basecall) must be
+                # visible in the CHAIN log, not only the supervisor's
+                # captured stderr — the r12 attempt-1 crash here was
+                # silent in the chain log (VERDICT r4 #9).  Re-raise so
+                # the supervisor relaunches; completed shards resume.
+                import traceback
+                log(f"> [B] {kind} shard {si} FAILED after {n_in} reads "
+                    f"({time.time() - t0:.0f}s):\n{traceback.format_exc()}")
+                raise
             n_kept = writer.save()
             log(f"> [B] {kind} shard {si}: {n_kept}/{n_in} chunks kept "
                 f"({time.time() - t0:.0f}s); stats={writer.stats}")
@@ -185,7 +198,7 @@ def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir, seed: int,
         log(f"> [C] spliced model (seed {seed}) fully trained, skipping")
     else:
         argv = [workdir, "--directory", dna_dir, "--xna-ctc-dir", xna_dir,
-                "--pretrained", boot_dir, "--stitch", "--ubs", "XY",
+                "--pretrained", boot_dir, "--stitch", "--ubs", args.ubs,
                 "--ub-prop", str(args.ub_prop),
                 "--freeze-bottom", "--unfreeze-top", str(args.unfreeze_top),
                 "--epochs", str(args.epochs), "--batch", str(args.batch),
@@ -231,6 +244,7 @@ def _write_swa_checkpoint(args, workdir):
         lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
         *trees)
     ckpt.save_tree(mean, out)
+    ckpt.mark_reserved(workdir, SWA_EPOCH)
     log(f"> [C] SWA checkpoint: mean of epochs {tail} -> weights_{SWA_EPOCH}")
 
 
@@ -258,6 +272,7 @@ def _write_soup_dir(soup_dir: str, member_dirs: list) -> None:
         lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
         *trees)
     ckpt.save_tree(mean, out)
+    ckpt.mark_reserved(soup_dir, 99)
 
 
 def _sim_heldout(refs, g, n):
@@ -334,7 +349,7 @@ def phase_d_validate(args, workdir, val_reads):
                                    batchsize=args.batch)
         log(f"> [D] epoch {epoch}: basecalled val in "
             f"{time.time() - t0:.0f}s ({stats['samples_per_s']:.2E} sps)")
-    best = run_ub_validation(workdir, args.exp, ubs="XY",
+    best = run_ub_validation(workdir, args.exp, ubs=args.ubs,
                              fastq_per_epoch=fastq_per_epoch, log=log)
     best_err = float("inf")
     if best is not None:
@@ -371,10 +386,19 @@ def phase_e_test(args, workdir, test_reads, test_reads_ind,
         evals.append(("POC", "test", poc_reads))
     for exp, tag, reads in evals:
         key = tag if exp == args.exp else f"{exp}-{tag}"
+        out_dir = os.path.join(out_base, f"basecalls-{key}")
         results[key] = basecall_and_eval(
             workdir, reads, exp, tag, weights="99",
-            batchsize=args.batch, ubs="XY",
-            out_dir=os.path.join(out_base, f"basecalls-{key}"), log=log)
+            batchsize=args.batch, ubs=args.ubs,
+            out_dir=out_dir, log=log)
+        # oracle-demux decomposition (VERDICT r4 #5): reuses the fastq +
+        # paf just written — pure re-analysis, no extra basecalling.
+        # Splits ub_acc losses into demux-misassignment vs UB-calling
+        # error and reports the real demux's assignment accuracy.
+        results[key + "_oracle"] = basecall_and_eval(
+            workdir, reads, exp, tag, weights="99",
+            batchsize=args.batch, ubs=args.ubs,
+            out_dir=out_dir, oracle_demux=True, log=log)
     return results
 
 
@@ -385,6 +409,10 @@ def main():
     ensure_tunnel_journal_compact()
     p = argparse.ArgumentParser()
     p.add_argument("--exp", default="CPLX", choices=["POC", "CPLX"])
+    p.add_argument("--ubs", default="XY", choices=["X", "Y", "XY"],
+                   help="which unnatural bases to stitch in training and "
+                        "score in eval (the reference's per-ubs rows, "
+                        "README.md:139-143)")
     p.add_argument("--out", default="/tmp/spliced_northstar")
     p.add_argument("--features", type=int, default=768)
     p.add_argument("--layers", type=int, default=5)
@@ -485,7 +513,7 @@ def main():
         from xna_basecaller_tpu.tools.eval_model import basecall_and_eval
         summ = basecall_and_eval(
             ens_dirs, val_reads, args.exp, "val", weights="99",
-            batchsize=args.batch, ubs="XY",
+            batchsize=args.batch, ubs=args.ubs,
             out_dir=os.path.join(ens_base, "basecalls-val"), log=log)
         ens_err = float(summ.get("err_only_ub", float("inf")))
         log(f"> ensemble({len(ens_dirs)} seeds): "
@@ -503,7 +531,7 @@ def main():
         _write_soup_dir(soup_base, ens_dirs)
         summ = basecall_and_eval(
             soup_base, val_reads, args.exp, "val", weights="99",
-            batchsize=args.batch, ubs="XY",
+            batchsize=args.batch, ubs=args.ubs,
             out_dir=os.path.join(soup_base, "basecalls-val"), log=log)
         soup_err = float(summ.get("err_only_ub", float("inf")))
         log(f"> soup({len(ens_dirs)} seeds): val err_only_ub "
@@ -528,7 +556,9 @@ def main():
         best = args.epochs
         link = os.path.join(workdir, "weights_99.npz")
         if not os.path.exists(link):
+            from xna_basecaller_tpu.train import checkpoint as ckpt
             os.symlink(f"weights_{best}.npz", link)
+            ckpt.mark_reserved(workdir, 99)
         log(f"> [WARNING] no val summaries; testing last epoch {best}")
     results = phase_e_test(args, workdir, test_reads, test_reads_ind,
                            out_base=out_base)

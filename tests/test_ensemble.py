@@ -179,3 +179,128 @@ def test_basecall_and_eval_accepts_workdir_list(tmp_path):
         pass
     fq = out / "reads-POC-val.fastq"
     assert fq.exists() and fq.read_text().count("@") == 3
+
+
+def _load_ns():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spliced_northstar",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "spliced_northstar.py"))
+    ns = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ns)
+    return ns
+
+
+def test_phase_b_shard_crash_logs_and_resumes(tmp_path, monkeypatch):
+    """VERDICT r4 #9: a phase-B shard failure must (a) print the
+    exception into the CHAIN log and (b) leave completed shards behind so
+    the supervisor relaunch resumes without re-basecalling them."""
+    import argparse
+    import os
+
+    from xna_basecaller_tpu.data import writers as writers_mod
+    from xna_basecaller_tpu.eval import construct_align, xna_refs
+    from xna_basecaller_tpu.infer import basecall as basecall_mod
+    from xna_basecaller_tpu.tools import dtw_segmentation as dtw_mod
+    from xna_basecaller_tpu.utils import model_io
+
+    ns = _load_ns()
+    chain_log = []
+    monkeypatch.setattr(ns, "log", lambda *a: chain_log.append(
+        " ".join(str(x) for x in a)))
+
+    class FakeRefs:
+        def __init__(self, exp):
+            pass
+
+    class FakeAligner:
+        def align(self, rid, seq):
+            return None
+
+        def refseq(self, rec):
+            return None
+
+    class FakeWriter:
+        """Writes real npy files so merge_ctc_dirs works."""
+
+        def __init__(self, outdir, **kw):
+            self.dir = outdir
+            self.n = 0
+            self.stats = {}
+
+        def add(self, signal, seq, mapping, refseq=None):
+            self.n += 1
+
+        def save(self):
+            os.makedirs(self.dir, exist_ok=True)
+            np.save(os.path.join(self.dir, "chunks.npy"),
+                    np.zeros((self.n, 16), np.float16))
+            np.save(os.path.join(self.dir, "references.npy"),
+                    np.ones((self.n, 4), np.uint8))
+            np.save(os.path.join(self.dir, "reference_lengths.npy"),
+                    np.full((self.n,), 4, np.uint16))
+            return self.n
+
+    class Read:
+        def __init__(self, rid):
+            self.read_id = rid
+            self.signal = np.zeros(3600, np.float32)
+
+    sim_calls = {"n": 0}
+
+    def fake_sim(refs, rng, n, with_ubs, regime, read_len_chunks=2,
+                 jitter=False, **kw):
+        for i in range(n):
+            sim_calls["n"] += 1
+            yield Read(f"r{sim_calls['n']}")
+
+    basecalled = []
+    crash = {"armed": True}
+
+    def fake_basecall(model, params, reads, **kw):
+        for read in reads:
+            if crash["armed"] and len(basecalled) >= 2:
+                raise RuntimeError("tunnel dropped")
+            basecalled.append(read.read_id)
+            yield read, {"sequence": "ACGT" * 8}
+
+    from xna_basecaller_tpu.data import simulate as sim_mod
+    monkeypatch.setattr(sim_mod, "sim_library_reads", fake_sim)
+    monkeypatch.setattr(xna_refs, "XnaRefs", FakeRefs)
+    monkeypatch.setattr(construct_align, "from_refs",
+                        lambda refs, with_ubs: FakeAligner())
+    monkeypatch.setattr(writers_mod, "CtcDataWriter", FakeWriter)
+    monkeypatch.setattr(model_io, "load_model",
+                        lambda d: (None, None, None))
+    monkeypatch.setattr(basecall_mod, "basecall", fake_basecall)
+    monkeypatch.setattr(
+        dtw_mod, "dtw_segmentation",
+        lambda d, n_proc=0, log=print: np.save(
+            os.path.join(d, "breakpoints.npy"), np.zeros((1, 4))))
+
+    args = argparse.Namespace(
+        out=str(tmp_path), exp="CPLX", xna_reads=4, dna_reads=2,
+        shard_reads=2, read_chunks=1, jitter=False, batch=4,
+        ctc_min_acc=0.0, dna_min_acc=None, n_proc=2)
+
+    # attempt 1: shard 0 (2 reads) completes, shard 1 crashes
+    with pytest.raises(RuntimeError, match="tunnel dropped"):
+        ns.phase_b_bootstrap_data(args, "unused")
+    assert os.path.exists(tmp_path / "ctc_xna_s0" / "chunks.npy")
+    assert not os.path.exists(tmp_path / "ctc_xna_s1" / "chunks.npy")
+    assert any("FAILED" in ln and "shard 1" in ln for ln in chain_log), \
+        chain_log[-3:]
+
+    # attempt 2 (supervisor relaunch): shard 0 skipped, the rest complete
+    crash["armed"] = False
+    n_before = len(basecalled)
+    xna_dir, dna_dir = ns.phase_b_bootstrap_data(args, "unused")
+    assert any("shard 0 exists, skipping" in ln for ln in chain_log)
+    # shard 0's two reads were NOT re-basecalled
+    assert len(basecalled) == n_before + 2 + 2  # xna shard 1 + dna (1 shard x 2)
+    merged = np.load(os.path.join(xna_dir, "chunks.npy"))
+    assert merged.shape[0] == 4  # both xna shards merged
+    assert os.path.exists(os.path.join(dna_dir, "breakpoints.npy"))

@@ -222,6 +222,37 @@ def test_analyze_paf_demux_rejects_wrong_barcode(poc):
     assert summary["num_aligned_reads"] == 1
 
 
+def test_analyze_paf_oracle_demux(tmp_path, poc):
+    """oracle_demux bypasses barcode assignment using the simulator's
+    read-id convention ("{target_id}_{i}") and reports the real demux's
+    per-read assignment accuracy (VERDICT r4 #5 decomposition)."""
+    from xna_basecaller_tpu.eval.ref_align import align_fastq
+    tid = "XNA01"
+    tar = poc.targets[tid].replace("N", "X")
+    b0, b1 = poc.barcodes_pos[tid]
+    # 3 barcode mismatches: alignment still prefers the true target, but
+    # the demux gate (max_bc_dist=1) rejects the read
+    sub = {"A": "C", "C": "A", "G": "T", "T": "G"}
+    bc = list(tar[b0:b1])
+    for k in (0, 2, 4):
+        bc[k] = sub[bc[k]]
+    bad = tar[:b0] + "".join(bc) + tar[b1:]
+    reads = {f"{tid}_good": tar, f"{tid}_bad": bad}
+    records = align_fastq(reads, poc.targets)
+    real = analyze_paf("POC", records, reads, max_bc_dist=1,
+                       log=lambda *a: None)
+    orc = analyze_paf("POC", records, reads, max_bc_dist=1,
+                      oracle_demux=True, out_dir=str(tmp_path),
+                      out_prefix="results_summ-oracle", log=lambda *a: None)
+    # real demux drops the destroyed-barcode read; the oracle keeps it
+    assert real["num_aligned_reads"] == 1
+    assert orc["num_aligned_reads"] == 2
+    assert orc["oracle_demux"] is True
+    # the one read the real demux kept was assigned correctly
+    assert orc["demux_match_acc"] == pytest.approx(100.0)
+    assert (tmp_path / "results_summ-oracle.csv").exists()
+
+
 def test_seed_index_matches_full_scan(poc):
     """Seeded candidate alignment agrees with the exhaustive scan."""
     from xna_basecaller_tpu.eval.ref_align import SeedIndex

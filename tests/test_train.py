@@ -249,6 +249,31 @@ def test_resume_ignores_reserved_pseudo_epochs(tmp_path):
     assert epoch == 2
 
 
+def test_reserved_marker_beats_adjacency_heuristic(tmp_path):
+    """An SWA artifact at 90 written next to a REAL epoch 89 looks like
+    training progress to the r-1-adjacency heuristic; the explicit
+    sidecar marker (written by every pseudo-epoch writer) must exclude
+    it from resume anyway."""
+    import jax
+
+    from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+    from xna_basecaller_tpu.models.crf_model import init_params
+    from xna_basecaller_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(encoder=EncoderConfig(features=32, num_rnn_layers=1))
+    p = init_params(jax.random.key(0), cfg)
+    for e in (88, 89):
+        ckpt.save_checkpoint(str(tmp_path), e, p, save_optim=False)
+    ckpt.save_tree(p, str(tmp_path / "weights_90.npz"))
+    # without the marker the heuristic treats 90 as real progress...
+    assert ckpt.latest_epoch(str(tmp_path), exclude_reserved=True) == 90
+    # ...the marker overrides it
+    ckpt.mark_reserved(str(tmp_path), 90)
+    assert ckpt.latest_epoch(str(tmp_path), exclude_reserved=True) == 89
+    # and a real >=90-epoch training (no marker) still resumes from 90
+    assert ckpt.latest_epoch(str(tmp_path)) == 90
+
+
 def test_train_step_multi_matches_sequential(tmp_path):
     """One train_step_multi dispatch (lax.scan over K stacked batches)
     must produce the same params/losses as K sequential train_step

@@ -122,6 +122,7 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
                 min_reads_count: int | None = None, debug: bool = False,
                 save_confusion_matrix: bool = False,
                 read_quals: dict | None = None,
+                oracle_demux: bool = False,
                 log=print) -> dict:
     """Full evaluation; returns the summary dict and writes the CSV family.
 
@@ -164,7 +165,49 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
         paf_df["read_end"] - paf_df["read_start"])
 
     demux_cnt = align_cnt
-    if max_bc_dist is not None:
+    demux_match_acc = None
+    if oracle_demux:
+        # Simulation oracle: the simulator names eval reads
+        # "{target_id}_{i}" (data/simulate.py sim_library_reads), so the
+        # true target of every read is known.  Bypassing barcode
+        # assignment decomposes held-out ub_acc into demux-misassignment
+        # vs UB-calling error; the real demux's per-read assignment
+        # accuracy is measured alongside (reference demux gate:
+        # eval_model.sh:64-68).
+        tids = sorted(refs.targets_id, key=len, reverse=True)
+
+        def _true_tid(rid):
+            for t in tids:
+                if rid.startswith(t + "_"):
+                    return t
+            return None
+
+        true_map = {rid: _true_tid(rid)
+                    for rid in paf_df["read_id"].unique()}
+        if any(v is None for v in true_map.values()):
+            n_bad = sum(v is None for v in true_map.values())
+            log(f"[Warning] oracle demux: {n_bad} read ids carry no "
+                "known target prefix (non-simulated reads?)")
+        if max_bc_dist is not None:
+            bc_df = add_barcode_info(paf_df.copy(), refs, reads)
+            bc_df = bc_df[bc_df["barcode_distance"] <= max_bc_dist]
+            bc_df = bc_df[bc_df["barcode_distance"] ==
+                          bc_df.groupby("read_id")["barcode_distance"]
+                          .transform("min")]
+            sel = bc_df.groupby("read_id")["target_id"].agg(set)
+            ok = [true_map.get(r) in s for r, s in sel.items()]
+            demux_match_acc = (100 * float(np.mean(ok)) if ok
+                               else float("nan"))
+            log(f"* real-demux assignment accuracy: {demux_match_acc:.2f}"
+                f"% of {len(ok):,d} demuxed reads")
+        mask = np.asarray(
+            [true_map.get(r) == t
+             for r, t in zip(paf_df["read_id"], paf_df["target_id"])],
+            bool)
+        paf_df = paf_df[mask].reset_index(drop=True)
+        demux_cnt = paf_df["read_id"].nunique()
+        log(f"* After ORACLE demux: {demux_cnt:,d}")
+    elif max_bc_dist is not None:
         log("Adding barcode information...")
         paf_df = add_barcode_info(paf_df, refs, reads)
         paf_df = paf_df[paf_df["barcode_distance"] <= max_bc_dist]
@@ -283,6 +326,10 @@ def analyze_paf(exp_name: str, paf_records, reads: dict[str, str],
     summary["ub_area_acc"] = 100 - summary["err_close_ub"]
     summary["demux"] = 100 * demux_cnt / n_total_reads
     summary["align"] = 100 * align_cnt / n_total_reads
+    if oracle_demux:
+        summary["oracle_demux"] = True
+        if demux_match_acc is not None:
+            summary["demux_match_acc"] = demux_match_acc
 
     # detection stats (reference analyze_paf.py:986-1022)
     mean_fpr = float(paf_df["fpr"].mean())

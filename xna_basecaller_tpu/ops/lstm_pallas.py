@@ -43,7 +43,11 @@ _CELL_RESID_COMPUTE_DTYPE = _env_flag("XNACALL_LSTM_CELL_RESID_BF16", True)
 # matmuls.  Measured per-hardware; default stays UNROLL (=2).
 import os as _os  # noqa: E402
 
-_INFER_UNROLL = int(_os.environ.get("XNACALL_LSTM_UNROLL", str(UNROLL)))
+try:
+    _INFER_UNROLL = max(
+        1, int(_os.environ.get("XNACALL_LSTM_UNROLL", str(UNROLL))))
+except ValueError:
+    _INFER_UNROLL = UNROLL
 
 
 def _auto_block_n(n: int, cap: int = 256) -> int:

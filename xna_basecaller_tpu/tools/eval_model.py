@@ -33,6 +33,7 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
                min_reads_count: int | None = None, debug: bool = False,
                save_confusion_matrix: bool = False,
                q_scores: bool = False, beam_width: int = 0,
+               oracle_demux: bool = False,
                log=print) -> dict:
     """Run the evaluation chain for one experiment/split; returns the
     summary dict and writes CSVs into ``basecalls_dir``."""
@@ -89,13 +90,15 @@ def eval_model(exp: str, basecalls_dir: str, split: str = "test",
     if q_scores:
         from xna_basecaller_tpu.data.writers import read_fastq_quals
         read_quals = read_fastq_quals(fastq_path)
+    prefix = f"results_summ-{exp}-{split}" + (
+        "-oracle" if oracle_demux else "")
     summary = analyze_paf(
         exp, records, reads, max_bc_dist=max_bc_dist, ubs=ubs,
-        out_dir=basecalls_dir, out_prefix=f"results_summ-{exp}-{split}",
+        out_dir=basecalls_dir, out_prefix=prefix,
         refs=refs, targets_list=targets_list,
         min_reads_count=min_reads_count, debug=debug,
         save_confusion_matrix=save_confusion_matrix,
-        read_quals=read_quals, log=log)
+        read_quals=read_quals, oracle_demux=oracle_demux, log=log)
     return summary
 
 
@@ -104,6 +107,7 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
                       ubs: str = "XY", out_dir: str | None = None,
                       chunksize: int = 3600, overlap: int = 500,
                       quantize: bool = False, beam_width: int = 0,
+                      oracle_demux: bool = False,
                       log=print) -> dict:
     """Load ``weights_{weights}.npz`` from ``workdir``, basecall ``reads``
     into a FASTQ under ``out_dir`` (idempotent), and run :func:`eval_model`.
@@ -141,4 +145,4 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
                            batchsize=batchsize, quantize=quantize,
                            beam_width=beam_width)
     return eval_model(exp, out_dir, split=split, reads_fastq=fq, ubs=ubs,
-                      log=log)
+                      oracle_demux=oracle_demux, log=log)

@@ -86,6 +86,22 @@ def save_checkpoint(workdir: str, epoch: int, params,
 RESERVED_EPOCHS = frozenset({90, 99})
 
 
+def mark_reserved(workdir: str, epoch: int) -> None:
+    """Sidecar marker declaring weights_{epoch} a pseudo-epoch artifact.
+
+    The r-1-adjacency heuristic in latest_epoch misfires when a real
+    training reaches epoch r-1 and THEN a pseudo-epoch artifact lands at
+    r (e.g. --epochs 89 + SWA at 90): the marker makes the exclusion
+    explicit instead of inferred."""
+    with open(os.path.join(workdir, f"weights_{epoch}.reserved"), "w"):
+        pass
+
+
+def _is_marked_reserved(workdir: str, epoch: int) -> bool:
+    return os.path.exists(
+        os.path.join(workdir, f"weights_{epoch}.reserved"))
+
+
 def _epochs(workdir: str, prefix: str) -> set[int]:
     files = glob(os.path.join(workdir, f"{prefix}_*.npz"))
     return {int(re.sub(r".*_([0-9]+)\.npz", r"\1", f)) for f in files}
@@ -95,13 +111,14 @@ def latest_epoch(workdir: str, with_optim: bool = False,
                  exclude_reserved: bool = False) -> int | None:
     weights = _epochs(workdir, "weights")
     if exclude_reserved:
-        # A reserved id is only excluded when it stands alone: a REAL
-        # >=90-epoch training saves every epoch, so weights_90 with
-        # weights_89 beside it is genuine progress and must resume
-        # (the SWA/alias artifacts appear in dirs whose real epochs
-        # are far below 90).
+        # Explicit sidecar markers first; for unmarked dirs (written
+        # before the markers existed) fall back to the adjacency
+        # heuristic: a reserved id standing alone is a pseudo-epoch,
+        # while weights_90 with weights_89 beside it is genuine
+        # progress of a real >=90-epoch training and must resume.
         weights -= {r for r in RESERVED_EPOCHS & weights
-                    if r - 1 not in weights}
+                    if _is_marked_reserved(workdir, r)
+                    or r - 1 not in weights}
     if with_optim:
         weights &= _epochs(workdir, "optim")
     return max(weights, default=None)
@@ -138,3 +155,4 @@ def link_best_epoch(workdir: str, epoch: int, alias: int = 99) -> None:
     if os.path.islink(link) or os.path.exists(link):
         os.remove(link)
     os.symlink(target, link)
+    mark_reserved(workdir, alias)

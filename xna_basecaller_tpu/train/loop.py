@@ -284,6 +284,7 @@ class Trainer:
         if True:
             t0 = perf_counter()
             chunks_seen = 0
+            last_t = 0.0
             # Defer loss/grad-norm materialisation: a per-step host sync
             # costs a full device round-trip; keep the scalars on device
             # and fetch them in one stacked transfer at epoch end.
@@ -335,15 +336,22 @@ class Trainer:
                         self.model.cfg, optimizer, self.compute_dtype,
                         self.grad_accum_split)
                     stats_k = [(losses[i], gns[i]) for i in range(k)]
-                chunks_seen += n_in_batch
-                for loss, grad_norm in stats_k:
+                # Attribute chunks/time per step (not once per stack) so
+                # a K-stacked dispatch's losses_N.csv x-axes line up with
+                # single-dispatch runs: step i of the stack is credited
+                # its share of the stack's chunks and wall time.
+                now = perf_counter() - t0
+                for i, (loss, grad_norm) in enumerate(stats_k):
+                    frac = (i + 1) / len(stats_k)
                     dev_stats.append((loss, grad_norm))
                     rows.append({
-                        "chunks": chunks_seen,
-                        "time": perf_counter() - t0,
+                        "chunks": chunks_seen + round(n_in_batch * frac),
+                        "time": last_t + frac * (now - last_t),
                         "lr": float(schedule(step)),
                     })
                     step += 1
+                chunks_seen += n_in_batch
+                last_t = now
             losses = np.asarray(jnp.stack([s[0] for s in dev_stats]))
             grad_norms = np.asarray(jnp.stack([s[1] for s in dev_stats]))
             smoothed = None
