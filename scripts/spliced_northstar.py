@@ -203,6 +203,8 @@ def phase_c_spliced_train(args, boot_dir, dna_dir, xna_dir, seed: int,
                 "--freeze-bottom", "--unfreeze-top", str(args.unfreeze_top),
                 "--epochs", str(args.epochs), "--batch", str(args.batch),
                 "--lr", str(args.lr), "--seed", str(seed), "-f"]
+        if getattr(args, "stitch_relax", False):
+            argv.append("--stitch-relax")
         log(f"> [C] spliced training: {' '.join(argv)}")
         train_main(argparser().parse_args(argv))
     if args.swa:
@@ -413,6 +415,10 @@ def main():
                    help="which unnatural bases to stitch in training and "
                         "score in eval (the reference's per-ubs rows, "
                         "README.md:139-143)")
+    p.add_argument("--stitch-relax", action="store_true",
+                   help="sparse-library stitch donor fallback (rescues "
+                        "POC-native training; see "
+                        "results/northstar_poc_r12/DIAGNOSIS.md)")
     p.add_argument("--out", default="/tmp/spliced_northstar")
     p.add_argument("--features", type=int, default=768)
     p.add_argument("--layers", type=int, default=5)

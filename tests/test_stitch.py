@@ -285,3 +285,88 @@ def test_simulator_structural_families_moment_matched():
                                    "event_noise": "uniform"}, rng)
              ["event_noise"]) for _ in range(60)}
     assert all(f[0] != "gamma" for f in fams)
+
+
+def test_relax_fallback_identity_when_occupied():
+    from xna_basecaller_tpu.augment.stitch import build_relax_fallback
+    full = np.ones((2, 6, 1024), np.int32)
+    fb = build_relax_fallback(full)
+    want = np.tile(np.arange(1024, dtype=np.int32), (2, 6, 1))
+    np.testing.assert_array_equal(fb, want)
+
+
+def test_relax_fallback_prefers_deep_suffix_match():
+    from xna_basecaller_tpu.augment.stitch import build_relax_fallback
+    counts = np.zeros((2, 6, 1024), np.int32)
+    # occupied codes for (ub=0, kup=0): 0b-suffix structure in base 4:
+    # 0x155 = digits (0,1,1,1,1); 0x2AA-ish: use explicit codes
+    a = (((1 * 4 + 2) * 4 + 3) * 4 + 0) * 4 + 1     # digits 1,2,3,0,1
+    b = (((3 * 4 + 3) * 4 + 3) * 4 + 0) * 4 + 1     # digits 3,3,3,0,1
+    c = (((2 * 4 + 2) * 4 + 2) * 4 + 2) * 4 + 2     # digits 2,2,2,2,2
+    counts[0, 0, [a, b, c]] = [1, 5, 1]
+    fb = build_relax_fallback(counts)
+    # occupied codes stay put
+    assert fb[0, 0, a] == a and fb[0, 0, b] == b and fb[0, 0, c] == c
+    # query digits 0,0,0,0,1: shares suffix (0,1) depth-2 with a and b;
+    # b has the deeper count -> b wins the suffix class
+    q = 1
+    assert fb[0, 0, q] == b
+    # query digits 0,0,0,2,2: shares suffix (2,2) depth-2 with c only
+    q2 = 2 * 4 + 2
+    assert fb[0, 0, q2] == c
+    # query sharing no suffix digit with any donor: global most-populated
+    q3 = (((0 * 4 + 0) * 4 + 0) * 4 + 3) * 4 + 3     # digits 0,0,0,3,3
+    assert fb[0, 0, q3] == b
+    # a (ub, kup) with zero donors keeps the identity map
+    assert fb[1, 3, 7] == 7
+
+
+def test_stitch_relax_rescues_sparse_library(xna_dir):
+    """POC-like regime: acceptor DNA whose contexts are NOT in the donor
+    tables.  Exact matching inserts ~nothing; relax inserts the
+    requested proportion using deepest-suffix donors."""
+    from xna_basecaller_tpu.augment.stitch import build_relax_fallback
+    tables = slice_xna_tables(xna_dir, cap=8)
+    pore = load_pore_model()
+    rng = np.random.default_rng(9)
+    B, chunk_len, L = 4, 2400, 120
+    chunks = np.zeros((B, chunk_len), np.float32)
+    refs = np.zeros((B, L), np.int32)
+    lens = np.full(B, L, np.int32)
+    bkps = np.zeros((B, L), np.int32)
+    for i in range(B):
+        target = rng.integers(1, 5, size=L).astype(np.uint8)  # random DNA
+        signal, bk = simulate_squiggle(target, pore, rng)
+        chunks[i, : min(len(signal), chunk_len)] = signal[:chunk_len]
+        refs[i] = target
+        bkps[i] = np.minimum(bk[:L], chunk_len)
+    args = (jnp.asarray(chunks), jnp.asarray(refs), jnp.asarray(lens),
+            jnp.asarray(bkps), jnp.asarray(tables.signals),
+            jnp.asarray(tables.lens), jnp.asarray(tables.counts))
+    _, t_exact, _ = stitch_batch(jax.random.key(0), *args, prop_ubs=0.10)
+    fb = jnp.asarray(build_relax_fallback(np.asarray(tables.counts)))
+    c_rel, t_rel, succ = stitch_batch(jax.random.key(0), *args,
+                                      prop_ubs=0.10, tbl_fallback=fb)
+    n_exact = int((np.asarray(t_exact) > 4).sum())
+    n_rel = int((np.asarray(t_rel) > 4).sum())
+    assert n_rel > max(4 * n_exact, B * 4), (n_exact, n_rel)
+    assert np.asarray(succ).all()
+    # the spliced signal actually changed under the inserted UBs
+    assert not np.allclose(np.asarray(c_rel), chunks)
+
+
+def test_stitch_relax_noop_on_fully_available_contexts(xna_dir, dna_batch):
+    """On acceptors whose every context has exact donors (the CPLX-like
+    cyclic fixture) relax must not change a single output bit."""
+    from xna_basecaller_tpu.augment.stitch import build_relax_fallback
+    tables = slice_xna_tables(xna_dir, cap=8)
+    chunks, refs, lens, bkps = dna_batch
+    args = (jnp.asarray(chunks), jnp.asarray(refs), jnp.asarray(lens),
+            jnp.asarray(bkps), jnp.asarray(tables.signals),
+            jnp.asarray(tables.lens), jnp.asarray(tables.counts))
+    c0, t0, s0 = stitch_batch(jax.random.key(3), *args, prop_ubs=0.08)
+    fb = jnp.asarray(build_relax_fallback(np.asarray(tables.counts)))
+    c1, t1, s1 = stitch_batch(jax.random.key(3), *args, prop_ubs=0.08,
+                              tbl_fallback=fb)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1))

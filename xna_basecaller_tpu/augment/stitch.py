@@ -129,6 +129,49 @@ def slice_xna_tables(xna_ctc_dir: str, cap: int = 32, edge_len: int = 5,
                         np.minimum(counts, cap).astype(np.int32))
 
 
+def build_relax_fallback(counts: np.ndarray) -> np.ndarray:
+    """[2, 6, 1024] int32: per (ub, kmer_ub_pos), map every context code
+    to an OCCUPIED context code — identity where the bucket has donors,
+    else the occupied bucket sharing the deepest low-order digit suffix.
+
+    The low-order base-4 digits of a context code are the bases nearest
+    the UB on the 5' side (availability_mask builds codes in that order),
+    which dominate the pore signal of the central k-mers — so the
+    fallback donor's context agrees with the acceptor where it matters
+    most.  Sparse-library rescue (``relax`` / --stitch-relax): a
+    20-template library like POC occupies 10-27 of 1024 buckets and the
+    exact-context match then inserts ~nothing (measured 0.03 UB/chunk,
+    results/northstar_poc_r12/DIAGNOSIS.md); with full occupancy (CPLX)
+    the fallback is the identity and behavior is unchanged.  The
+    reference has no equivalent — its exact-match KeyError skip
+    (stitch_chunks.py:392-430) is what starves its own POC quick-run
+    (~15% UB acc, README.md:106).
+    """
+    n_ub, n_kup, n_tpl = counts.shape
+    fb = np.tile(np.arange(n_tpl, dtype=np.int32), (n_ub, n_kup, 1))
+    for u in range(n_ub):
+        for k in range(n_kup):
+            occ = np.flatnonzero(counts[u, k] > 0)
+            if len(occ) == 0:
+                continue  # no donors at all: counts stay 0 either way
+            filled = counts[u, k] > 0
+            for depth in range(4, -1, -1):
+                mod = 4 ** depth
+                reps: dict[int, int] = {}
+                for o in occ:
+                    s = int(o % mod)
+                    if s not in reps or counts[u, k, o] > \
+                            counts[u, k, reps[s]]:
+                        reps[s] = int(o)
+                unfilled = np.flatnonzero(~filled)
+                for c in unfilled:
+                    s = int(c % mod)
+                    if s in reps:
+                        fb[u, k, c] = reps[s]
+                        filled[c] = True
+    return fb
+
+
 def _noise_transform(key, sig, noise_std: float, noise_mode: str):
     """transform_chunk noise modes (stitch_chunks.py:299-319)."""
     if not noise_std:
@@ -166,7 +209,7 @@ def _permute_transform(key, sig, valid_len, win: int):
 
 
 def availability_mask(target, length, tbl_counts, ub_codes,
-                      kmer_len: int = KMER_LEN):
+                      kmer_len: int = KMER_LEN, tbl_fallback=None):
     """[n_codes, L] bool: positions whose 6 covering-k-mer donor buckets
     are all non-empty, per UB code in ``ub_codes``.
 
@@ -199,8 +242,10 @@ def availability_mask(target, length, tbl_counts, ub_codes,
             good = good & natural[pc] & (p >= 0) & (p < length)
         kup = kmer_len - 1 - ki
         for ci, code in enumerate(ub_codes):
+            eff = (ctx if tbl_fallback is None
+                   else tbl_fallback[code - 5, kup, ctx])
             ok = ok.at[ci].set(
-                ok[ci] & good & (tbl_counts[code - 5, kup, ctx] > 0))
+                ok[ci] & good & (tbl_counts[code - 5, kup, eff] > 0))
     return ok
 
 
@@ -214,7 +259,7 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
                  pad: int = 5, cand_sample_size: int = 5,
                  ub_codes: tuple = (5, 6), noise_std: float = 0.0,
                  noise_mode: str = "single", weight_table=None,
-                 permute_win_size: int = 0):
+                 permute_win_size: int = 0, tbl_fallback=None):
     """Vectorised per_kmer stitch over a batch; returns
     (chunks', targets', success [B] bool).
 
@@ -234,7 +279,8 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
         return _stitch_one(k, c, t, l, b, tbl_signals, tbl_lens, tbl_counts,
                            prop_ubs, max_stitches, pad, cand_sample_size,
                            ub_codes, noise_std, noise_mode, T,
-                           targets.shape[1], weight_table, permute_win_size)
+                           targets.shape[1], weight_table, permute_win_size,
+                           tbl_fallback)
 
     return jax.vmap(one)(keys, chunks, targets, lengths, breakpoints)
 
@@ -242,7 +288,7 @@ def stitch_batch(key, chunks, targets, lengths, breakpoints,
 def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
                 tbl_counts, prop_ubs, max_stitches, pad, cand_sample_size,
                 ub_codes, noise_std, noise_mode, T, L, weight_table=None,
-                permute_win_size: int = 0):
+                permute_win_size: int = 0, tbl_fallback=None):
     from xna_basecaller_tpu.augment.spike import _choose_positions
 
     k_pos, k_ub, k_cand, k_noise = jax.random.split(key, 4)
@@ -260,7 +306,8 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
     n_pos = jnp.maximum(
         jnp.round(length * prop_ubs).astype(jnp.int32) - n_existing, 1)
     n_pos = jnp.minimum(n_pos, max_stitches)
-    avail = availability_mask(target, length, tbl_counts, ub_codes)
+    avail = availability_mask(target, length, tbl_counts, ub_codes,
+                              tbl_fallback=tbl_fallback)
     pos_w = avail.any(axis=0).astype(jnp.float32)
     if weight_table is not None:
         pos_w = pos_w * position_weights(target, length, weight_table)
@@ -312,6 +359,10 @@ def _stitch_one(key, chunk, target, length, bkps, tbl_signals, tbl_lens,
     tpls = ((((ctx[..., 0] * 4 + ctx[..., 1]) * 4 + ctx[..., 2]) * 4
              + ctx[..., 3]) * 4 + ctx[..., 4])         # [M, 6]
     kmer_ub_pos = jnp.arange(KMER_LEN - 1, -1, -1)     # [6]
+    if tbl_fallback is not None:
+        # sparse-library rescue: redirect empty exact-context buckets to
+        # the deepest-suffix occupied bucket (identity when occupied)
+        tpls = tbl_fallback[ub_idx[:, None], kmer_ub_pos[None, :], tpls]
 
     # candidate selection per (stitch, k-mer): sample cand_sample_size
     # from the bucket, keep the closest in length to the local dwell span
@@ -394,7 +445,8 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
                         tables: StitchTables | None = None,
                         weighted_pos_pick: bool = False,
                         weights_dir: str | None = None,
-                        permute_win_size: int = 0, pad: int = 5):
+                        permute_win_size: int = 0, pad: int = 5,
+                        relax: bool = False):
     """Build a ChunkDataset-compatible augment closure (stitch then done).
 
     Pass a precomputed ``tables`` to skip the ctc-data scan (e.g. in
@@ -407,6 +459,10 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
     lens = jnp.asarray(tables.lens)
     counts = jnp.asarray(tables.counts)
     ub_codes = _UB_CODE_MAP[ubs]
+    fallback = None
+    if relax:
+        fallback = jnp.asarray(
+            build_relax_fallback(np.asarray(tables.counts)))
     weight_table = None
     if weighted_pos_pick:
         weight_table = jnp.asarray(load_kmer_weight_table(
@@ -423,7 +479,7 @@ def make_stitch_augment(xna_ctc_dir: str, ubs: str = "XY",
             prop_ubs=prop_ubs, cand_sample_size=cand_sample_size,
             ub_codes=ub_codes, noise_std=noise_std, noise_mode=noise_mode,
             weight_table=weight_table, permute_win_size=permute_win_size,
-            pad=pad)
+            pad=pad, tbl_fallback=fallback)
         return np.asarray(c), np.asarray(t)
 
     return augment

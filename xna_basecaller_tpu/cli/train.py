@@ -39,7 +39,8 @@ def main(args):
                 noise_std=args.stitch_noise_std,
                 noise_mode=args.stitch_noise_mode,
                 weighted_pos_pick=args.weighted_pos_pick,
-                permute_win_size=args.permute_win_size, pad=args.ub_pad))
+                permute_win_size=args.permute_win_size, pad=args.ub_pad,
+                relax=args.stitch_relax))
         if args.spike:
             from xna_basecaller_tpu.augment.spike import make_spike_augment
             augments.append(make_spike_augment(
@@ -168,6 +169,12 @@ def argparser():
     parser.add_argument("--xna-ctc-dir", default=None,
                         help="real-XNA ctc-data for stitch slices")
     parser.add_argument("--cand-sample-size", default=5, type=int)
+    parser.add_argument("--stitch-relax", action="store_true",
+                        help="sparse-library donor fallback: redirect "
+                             "empty exact-context stitch buckets to the "
+                             "deepest-suffix occupied bucket (rescues "
+                             "20-template libraries like POC; no-op on "
+                             "fully-occupied donor tables)")
     parser.add_argument("--weighted-pos-pick", action="store_true",
                         help="k-mer-frequency-weighted insert positions")
     parser.add_argument("--permute-win-size", default=0, type=int,
