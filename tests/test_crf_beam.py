@@ -170,3 +170,30 @@ def test_beam_flagship_alphabet_smoke():
         got = [x for x in beam_labels[n] if x]
         want = [x for x in vit[n] if x]
         assert got == want
+
+
+def test_ub_bias_moves_recall_frontier():
+    """Decode-time UB bias: positive bias emits more UB labels, negative
+    fewer; 0.0 is bit-identical to the unbiased decode."""
+    import numpy as np
+
+    from xna_basecaller_tpu.infer.basecall import _score_and_decode
+
+    n_base, state_len = 6, 3
+    ns = n_base ** state_len
+    T, N, C = 40, 3, ns * (n_base + 1)
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(T, N, C)).astype(np.float32)
+
+    p0 = np.asarray(_score_and_decode(scores, n_base, state_len))
+    p0b = np.asarray(_score_and_decode(scores, n_base, state_len,
+                                       ub_bias=0.0))
+    np.testing.assert_array_equal(p0, p0b)
+    p_hi = np.asarray(_score_and_decode(scores, n_base, state_len,
+                                        ub_bias=3.0))
+    p_lo = np.asarray(_score_and_decode(scores, n_base, state_len,
+                                        ub_bias=-3.0))
+    n0, nhi, nlo = [(p > 4).sum() for p in (p0, p_hi, p_lo)]
+    assert nhi > n0 > nlo, (nlo, n0, nhi)
+    # non-UB emissions elsewhere are still sensible labels
+    assert p_hi.min() >= 0 and p_hi.max() <= n_base

@@ -158,7 +158,8 @@ def main(args):
             batchsize=cfg.basecaller.batchsize, reverse=args.revcomp,
             qscores=args.qscores, cancel=cancel,
             quantize=args.quantize or cfg.basecaller.quantize,
-            beam_width=args.beam, superbatch=args.superbatch)
+            beam_width=args.beam, superbatch=args.superbatch,
+            ub_bias=args.ub_bias)
     try:
         for read, attrs in called:
             n_reads += 1
@@ -265,6 +266,11 @@ def argparser():
                              "sub-batches run serially in-jit). Ignored "
                              "(runs as 1, with a warning) together with "
                              "--qscores or --beam")
+    parser.add_argument("--ub-bias", default=0.0, type=float,
+                        help="decode-time score bias on UB-emitting "
+                             "transitions: >0 raises UB recall, <0 "
+                             "raises UB precision/lowers FDR (frontier "
+                             "in results/ub_bias_frontier_r05)")
     parser.add_argument("--max-reads", default=0, type=int)
     parser.add_argument("--summary", default=None,
                         help="write per-read summary tsv here")

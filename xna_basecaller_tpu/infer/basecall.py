@@ -37,12 +37,26 @@ from xna_basecaller_tpu.utils.pipeline import (
 )
 
 
-@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
+def _apply_ub_bias(scores, n_base: int, ub_bias: float):
+    """Add ``ub_bias`` to every transition score whose emitted label is a
+    UB (label index > 4 in the NACGTXY alphabet).  No-op at 0.0."""
+    if not ub_bias:
+        return scores
+    T, N, C = scores.shape
+    ns = C // (n_base + 1)
+    Ms = scores.reshape(T, N, ns, n_base + 1)
+    Ms = Ms.at[..., 5:].add(jnp.asarray(ub_bias, Ms.dtype))
+    return Ms.reshape(T, N, C)
+
+
+@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse",
+                                   "ub_bias"))
 def _score_and_decode_qual(scores, n_base: int, state_len: int,
-                           reverse: bool = False):
+                           reverse: bool = False, ub_bias: float = 0.0):
     """Decode with per-frame posterior confidences (real qscores)."""
     if reverse:
         scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    scores = _apply_ub_bias(scores, n_base, ub_bias)
     paths, probs = crf_ops.decode_paths_with_qual(scores, n_base, state_len)
     return paths.astype(jnp.int8), probs.astype(jnp.float16)
 
@@ -60,16 +74,26 @@ def _score_and_decode_beam(scores, n_base: int, state_len: int,
     return paths.astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse"))
+@partial(jax.jit, static_argnames=("n_base", "state_len", "reverse",
+                                   "ub_bias"))
 def _score_and_decode(scores, n_base: int, state_len: int,
-                      reverse: bool = False):
+                      reverse: bool = False, ub_bias: float = 0.0):
     """CRF scores -> per-frame label paths [N, T'] int8.
 
     int8 on purpose: labels are 0..n_base and the device<->host link is the
     scarce resource (results leave the device; scores never do).
+
+    ``ub_bias`` shifts the scores of every transition EMITTING an
+    unnatural base (labels > 4) before Viterbi: the decode-time lever
+    for trading UB recall against precision/FDR (the reference tunes
+    the same trade at the analyzer threshold only,
+    analyze_paf.py:1001-1022; here the decoder itself moves along the
+    frontier).  Normalisation-free: a constant added per emitted label
+    cancels in logZ differences that share the label count.
     """
     if reverse:
         scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    scores = _apply_ub_bias(scores, n_base, ub_bias)
     from xna_basecaller_tpu.utils.platform import is_tpu
     if is_tpu():
         from xna_basecaller_tpu.ops.crf_pallas import decode_paths_pallas
@@ -98,9 +122,11 @@ def _apply_maybe_ensemble(model, params, batch, compute_dtype,
 
 
 @partial(jax.jit, static_argnames=("model", "n_base", "state_len",
-                                   "reverse", "compute_dtype", "lstm_int8"))
+                                   "reverse", "compute_dtype", "lstm_int8",
+                                   "ub_bias"))
 def _super_forward_decode(params, dev, model, n_base: int, state_len: int,
-                          reverse: bool, compute_dtype, lstm_int8: bool):
+                          reverse: bool, compute_dtype, lstm_int8: bool,
+                          ub_bias: float = 0.0):
     """ONE device execution over a [G, N, T] superbatch -> paths [G, N, T'].
 
     lax.map serialises the G sub-batches inside the dispatch, so only one
@@ -114,7 +140,7 @@ def _super_forward_decode(params, dev, model, n_base: int, state_len: int,
     def one(batch):
         sc = _apply_maybe_ensemble(model, params, batch, compute_dtype,
                                    lstm_int8)
-        return _score_and_decode(sc, n_base, state_len, reverse)
+        return _score_and_decode(sc, n_base, state_len, reverse, ub_bias)
 
     return jax.lax.map(one, dev)
 
@@ -158,7 +184,8 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
              legacy_char_stitch: bool = False,
              qscores: bool = False, cancel=None,
              stitch_workers: int = 4, quantize: bool = False,
-             beam_width: int = 0, superbatch: int = 1) -> Iterator:
+             beam_width: int = 0, superbatch: int = 1,
+             ub_bias: float = 0.0) -> Iterator:
     """Basecall reads lazily; yields (read, attrs dict) like the reference
     basecall generator (crf/basecall.py:96-119).
 
@@ -249,7 +276,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
                 paths = _super_forward_decode(
                     params, dev, model, model.seqdist.n_base,
                     model.seqdist.state_len, reverse, compute_dtype,
-                    quantize)
+                    quantize, float(ub_bias))
                 yield keys_g, n_g, N, paths, None
                 continue
             # quantize also switches the fused LSTM recurrence to int8
@@ -260,7 +287,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
             if qscores:
                 paths, probs = _score_and_decode_qual(
                     sc, model.seqdist.n_base, model.seqdist.state_len,
-                    reverse)
+                    reverse, float(ub_bias))
             elif beam_width > 0:
                 paths = _score_and_decode_beam(
                     sc, model.seqdist.n_base, model.seqdist.state_len,
@@ -269,7 +296,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
             else:
                 paths = _score_and_decode(
                     sc, model.seqdist.n_base, model.seqdist.state_len,
-                    reverse)
+                    reverse, float(ub_bias))
                 probs = None
             yield keys_g, n_g, N, paths, probs
 

@@ -107,7 +107,7 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
                       ubs: str = "XY", out_dir: str | None = None,
                       chunksize: int = 3600, overlap: int = 500,
                       quantize: bool = False, beam_width: int = 0,
-                      oracle_demux: bool = False,
+                      oracle_demux: bool = False, ub_bias: float = 0.0,
                       log=print) -> dict:
     """Load ``weights_{weights}.npz`` from ``workdir``, basecall ``reads``
     into a FASTQ under ``out_dir`` (idempotent), and run :func:`eval_model`.
@@ -143,6 +143,6 @@ def basecall_and_eval(workdir: str, reads, exp: str, split: str,
             run_basecaller(model, params, iter(reads), fh,
                            chunksize=chunksize, overlap=overlap,
                            batchsize=batchsize, quantize=quantize,
-                           beam_width=beam_width)
+                           beam_width=beam_width, ub_bias=ub_bias)
     return eval_model(exp, out_dir, split=split, reads_fastq=fq, ubs=ubs,
                       oracle_demux=oracle_demux, log=log)
