@@ -304,3 +304,22 @@ def test_phase_b_shard_crash_logs_and_resumes(tmp_path, monkeypatch):
     merged = np.load(os.path.join(xna_dir, "chunks.npy"))
     assert merged.shape[0] == 4  # both xna shards merged
     assert os.path.exists(os.path.join(dna_dir, "breakpoints.npy"))
+
+
+def test_run_basecaller_ub_bias_paths_agree(tiny):
+    """ub_bias flows through both the plain and superbatch decode paths:
+    0.0 is identical to the default, and the biased superbatch output
+    equals the biased plain output."""
+    model, p1, _, reads = tiny
+    base, _ = _fastq(model, p1, reads)
+    zero, _ = _fastq(model, p1, reads, ub_bias=0.0)
+    assert base == zero
+    plain_b, _ = _fastq(model, p1, reads, ub_bias=4.0)
+    sup_b, _ = _fastq(model, p1, reads, ub_bias=4.0, superbatch=2)
+    assert plain_b == sup_b
+    # a large positive bias on an untrained model floods UB calls
+    n_ub = sum(seq.count("X") + seq.count("Y")
+               for seq in plain_b.split("\n")[1::4])
+    n_ub0 = sum(seq.count("X") + seq.count("Y")
+                for seq in base.split("\n")[1::4])
+    assert n_ub > n_ub0
