@@ -62,14 +62,17 @@ def _score_and_decode_qual(scores, n_base: int, state_len: int,
 
 
 @partial(jax.jit,
-         static_argnames=("n_base", "state_len", "reverse", "beam_width"))
+         static_argnames=("n_base", "state_len", "reverse", "beam_width",
+                          "ub_bias"))
 def _score_and_decode_beam(scores, n_base: int, state_len: int,
-                           beam_width: int, reverse: bool = False):
+                           beam_width: int, reverse: bool = False,
+                           ub_bias: float = 0.0):
     """Path-collapsing beam decode (ops/crf.py::decode_beam) — the
     TPU-native stand-in for koi's beam search (crf/basecall.py:43-46),
     available for the full XNA alphabet."""
     if reverse:
         scores = crf_ops.reverse_complement(scores, n_base, state_len)
+    scores = _apply_ub_bias(scores, n_base, ub_bias)
     paths, _ = crf_ops.decode_beam(scores, n_base, state_len, beam_width)
     return paths.astype(jnp.int8)
 
@@ -291,7 +294,7 @@ def basecall(model, params, reads: Iterable, chunksize: int = 3600,
             elif beam_width > 0:
                 paths = _score_and_decode_beam(
                     sc, model.seqdist.n_base, model.seqdist.state_len,
-                    beam_width, reverse)
+                    beam_width, reverse, float(ub_bias))
                 probs = None
             else:
                 paths = _score_and_decode(
