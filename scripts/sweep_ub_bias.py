@@ -36,7 +36,11 @@ def main():
     p.add_argument("--out", default="results/ub_bias_frontier_r05")
     p.add_argument("--reads", type=int, default=1500)
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--biases", default=None,
+                   help="comma-separated override of the bias grid")
     args = p.parse_args()
+    biases = (tuple(float(b) for b in args.biases.split(","))
+              if args.biases else BIASES)
 
     from xna_basecaller_tpu.data.simulate import sim_library_reads
     from xna_basecaller_tpu.eval.xna_refs import XnaRefs
@@ -47,8 +51,15 @@ def main():
     reads = list(sim_library_reads(refs, rng, args.reads, True, "heldout",
                                    read_len_chunks=1))
     os.makedirs(args.out, exist_ok=True)
+    frontier_csv = os.path.join(args.out, "frontier.csv")
     rows = []
-    for b in BIASES:
+    if args.biases and os.path.exists(frontier_csv):
+        with open(frontier_csv) as fh:
+            rows = [{k: (float(v) if v not in ("", "None") else None)
+                     for k, v in r.items()}
+                    for r in csv.DictReader(fh)]
+        rows = [r for r in rows if r["ub_bias"] not in biases]
+    for b in biases:
         tag = f"bias{b:+.1f}"
         summ = basecall_and_eval(
             args.model, reads, "CPLX", tag, weights="99",
@@ -65,8 +76,8 @@ def main():
         print(f"[sweep] {tag}: ub_acc {row['ub_acc']:.2f} "
               f"precision {row['precision']:.2f} f1 {row['f1_score']:.2f}",
               flush=True)
-        with open(os.path.join(args.out, "frontier.csv"), "w",
-                  newline="") as fh:
+        rows.sort(key=lambda r: r["ub_bias"])
+        with open(frontier_csv, "w", newline="") as fh:
             w = csv.DictWriter(fh, fieldnames=list(rows[0]))
             w.writeheader()
             w.writerows(rows)
