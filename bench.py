@@ -121,10 +121,14 @@ def main():
     print(f"[bench] compile+warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # 120 reads ≈ 4.6k chunks ≈ 18 batches/pass: enough batches that the
-    # pipeline's fill/drain is amortised (48 reads left only ~7 batches and
-    # understated steady-state throughput by ~15%).
-    reads = list(simulate_reads(120, mean_len=120_000, seed=7))
+    # 720 reads ≈ 27.6k chunks ≈ 108 batches/pass: measured same-day
+    # (results/perf_knobs_r05/pipeline_tweaks.json), 120 reads still
+    # understated steady-state by ~18% (8.22M vs 10.16M at 360 / 10.47M
+    # at 720, identical B=256/G=4 shapes) — the 3-deep stage buffers'
+    # fill/drain is a fixed ~0.6 s cost per pass, so longer passes are
+    # the honest steady-state measure.  Shapes are unchanged, so no
+    # extra compile is paid.
+    reads = list(simulate_reads(720, mean_len=120_000, seed=7))
     total_samples = sum(len(r.signal) for r in reads)
     print(f"[bench] {len(reads)} reads, {total_samples:,} samples",
           file=sys.stderr)
