@@ -37,6 +37,10 @@ MODES = {
     "fully_synth": ["--spike", "--fully-synth"],
     "hybrid": ["--spike"],
     "spliced": ["--stitch"],
+    # round-5: deepest-suffix donor fallback for sparse libraries (POC
+    # occupies 10-27/1024 context buckets; without it the exact-context
+    # splice starves and the reference's own POC quick-run sits at ~15%)
+    "spliced_relax": ["--stitch", "--stitch-relax"],
 }
 
 
@@ -83,10 +87,19 @@ def main():
     p.add_argument("--dna-reads", type=int, default=1200)
     p.add_argument("--read-chunks", type=int, default=2)
     p.add_argument("--ctc-min-acc", type=float, default=0.85)
+    # phase-B sharding + bootstrap knobs (phase_b_bootstrap_data /
+    # phase_a_bootstrap read these off the args namespace)
+    p.add_argument("--shard-reads", type=int, default=12000)
+    p.add_argument("--dna-min-acc", type=float, default=None)
+    p.add_argument("--boot-chunks", type=int, default=12288)
+    p.add_argument("--boot-epochs", type=int, default=10)
+    p.add_argument("--features", type=int, default=768)
+    p.add_argument("--layers", type=int, default=5)
     p.add_argument("--jitter", action="store_true")
     p.add_argument("--val-reads", type=int, default=300)
     p.add_argument("--n-proc", type=int, default=8)
-    p.add_argument("--modes", default="fully_synth,hybrid,spliced")
+    p.add_argument("--modes",
+                   default="fully_synth,hybrid,spliced,spliced_relax")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (micro smoke runs)")
     args = p.parse_args()
@@ -99,7 +112,19 @@ def main():
     from xna_basecaller_tpu.eval.xna_refs import XnaRefs
 
     t0 = time.time()
-    xna_dir, dna_dir = ns.phase_b_bootstrap_data(args, args.boot_model)
+    boot_model = args.boot_model
+    if not os.path.exists(os.path.join(boot_model, "config.toml")):
+        # no reusable phase-A basecaller (e.g. after a machine reset):
+        # bootstrap one in-run, exactly as spliced_northstar phase A
+        log(f"> boot model {boot_model} missing; bootstrapping in-run")
+        from xna_basecaller_tpu.core import config as config_lib
+        from xna_basecaller_tpu.core.config import EncoderConfig, ModelConfig
+        cfg_dir = os.path.join(args.out, "base_config")
+        os.makedirs(cfg_dir, exist_ok=True)
+        config_lib.save(ModelConfig(encoder=EncoderConfig(
+            features=args.features, num_rnn_layers=args.layers)), cfg_dir)
+        boot_model = ns.phase_a_bootstrap(args, cfg_dir)
+    xna_dir, dna_dir = ns.phase_b_bootstrap_data(args, boot_model)
 
     refs = XnaRefs(args.exp)
     rng = np.random.default_rng(999)
@@ -108,7 +133,7 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
-        workdir = train_mode(args, mode, args.boot_model, dna_dir, xna_dir)
+        workdir = train_mode(args, mode, boot_model, dna_dir, xna_dir)
         res = eval_mode(args, workdir, val_reads, "val")
         results[mode] = {k: v for k, v in res.items()
                          if isinstance(v, (int, float))}

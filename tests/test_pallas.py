@@ -493,3 +493,51 @@ def test_int8_matmul_close_to_f32():
     rel = np.abs(got.reshape(-1, 192) - want) / (np.abs(want).mean() + 1e-9)
     assert rel.mean() < 0.02, rel.mean()
     assert np.percentile(rel, 99.5) < 0.1
+
+
+def test_pallas_lstm_odd_batch_pads_to_tile():
+    """Batch sizes with no good tile divisor (the reference's quick-run
+    batch 98 = 2*7*7) are padded to the next multiple of 64 inside the
+    kernel entry points: an untiled 98-row block overflowed the scoped
+    VMEM budget on chip (17.9MB > 16MB in the backward at H=768).
+    Values and grads must match the scan oracle exactly as for friendly
+    batch sizes."""
+    import jax.experimental.pallas as pl
+    from xna_basecaller_tpu.ops import lstm_pallas
+
+    assert lstm_pallas._batch_pad_rows(98) == 30
+    assert lstm_pallas._batch_pad_rows(128) == 0
+    assert lstm_pallas._batch_pad_rows(96) == 0
+    assert lstm_pallas._batch_pad_rows(3) == 0   # small batches unpadded
+    assert lstm_pallas._batch_pad_rows(104) == 24
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        H, T, N = 32, 6, 98
+        p = init_lstm_params(jax.random.key(0), H, H)
+        x = jax.random.normal(jax.random.key(1), (T, N, H), jnp.float32)
+        dy_seed = jax.random.normal(jax.random.key(2), (T, N, H),
+                                    jnp.float32)
+        # inference entry
+        y_pal = lstm_pallas.lstm_forward_pallas(p, x)
+        y_ref = lstm_forward(p, x)
+        assert y_pal.shape == (T, N, H)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   rtol=2e-3, atol=2e-4)
+        # trainable entry: fwd + custom-VJP bwd through the padded path
+        g1 = jax.grad(lambda p, x: jnp.sum(
+            lstm_pallas.lstm_forward_pallas_trainable(p, x) * dy_seed),
+            argnums=(0, 1))(p, x)
+        g2 = jax.grad(lambda p, x: jnp.sum(
+            lstm_forward(p, x) * dy_seed), argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+    finally:
+        pl.pallas_call = orig

@@ -63,6 +63,32 @@ def _auto_block_n(n: int, cap: int = 256) -> int:
     return n
 
 
+def _batch_pad_rows(n: int) -> int:
+    """Zero-rows of batch padding so the batch tiles well on the grid.
+
+    _auto_block_n falls through to BN=n when n has no good divisor
+    (e.g. the reference's quick-run batch 98 = 2*7*7): an untiled odd
+    block overflows the ~16MB scoped VMEM budget once the kernel's
+    stack temporaries are counted (measured 17.9MB at N=98, H=768 in
+    the backward).  Batch rows are independent in the recurrence — the
+    entry points pad N up to the next multiple of 64 (so BN >= 64) and
+    slice the padding back off.  No-op for the shipped batch sizes
+    (96/128/256/384/512...) and for small batches (< 64 rows), whose
+    untiled blocks always fit."""
+    if n < 64:
+        return 0
+    for bn in (256, 192, 128, 96, 64):
+        if n % bn == 0:
+            return 0
+    return (-n) % 64
+
+
+def _pad_rows(a, npad: int):
+    """Append npad zero batch rows to a [T, N, ...] array."""
+    return jnp.concatenate(
+        [a, jnp.zeros((a.shape[0], npad) + a.shape[2:], a.dtype)], axis=1)
+
+
 def _make_scan_kernel(unroll: int):
     def kernel(xp_ref, whh_ref, y_ref, h_ref, c_ref):
         """unroll timesteps: gates = xp_t + h @ W_hh; LSTM cell updates."""
@@ -101,8 +127,12 @@ def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None,
     Batch is tiled on the outer grid dimension (time innermost, so the
     per-tile h/c scratch persists across the whole scan and resets at
     t == 0 for each new batch tile)."""
-    T, N, H4 = xp.shape
+    T, N0, H4 = xp.shape
     H = H4 // 4
+    npad = 0 if block_n else _batch_pad_rows(N0)
+    if npad:
+        xp = _pad_rows(xp, npad)
+    N = N0 + npad
     pad = (-T) % unroll
     if pad:
         xp = jnp.concatenate(
@@ -134,7 +164,7 @@ def lstm_recurrence_pallas(xp, w_hh, block_n: int | None = None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_hh)
-    return ys[:T] if pad else ys
+    return ys[:T, :N0]
 
 
 def lstm_forward_pallas(params, x, reverse: bool = False):
@@ -229,8 +259,12 @@ def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None,
                                 unroll: int = UNROLL):
     """xp [T, N, 4H] f32/bf16, w_q int8 [H, 4H], scale f32 [4H] ->
     hidden states [T, N, H] (xp dtype)."""
-    T, N, H4 = xp.shape
+    T, N0, H4 = xp.shape
     H = H4 // 4
+    npad = 0 if block_n else _batch_pad_rows(N0)
+    if npad:
+        xp = _pad_rows(xp, npad)
+    N = N0 + npad
     pad = (-T) % unroll
     if pad:
         xp = jnp.concatenate(
@@ -263,7 +297,7 @@ def lstm_recurrence_pallas_int8(xp, w_q, scale, block_n: int | None = None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_q, scale)
-    return ys[:T] if pad else ys
+    return ys[:T, :N0]
 
 
 def lstm_forward_pallas_int8(params, x, reverse: bool = False):
@@ -325,8 +359,12 @@ def _make_fwd_cells_kernel(unroll: int):
 
 def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None,
                            unroll: int = UNROLL):
-    T, N, H4 = xp.shape
+    T, N0, H4 = xp.shape
     H = H4 // 4
+    npad = 0 if block_n else _batch_pad_rows(N0)
+    if npad:
+        xp = _pad_rows(xp, npad)
+    N = N0 + npad
     pad = (-T) % unroll
     if pad:
         xp = jnp.concatenate(
@@ -365,7 +403,7 @@ def _pallas_fwd_with_cells(xp, w_hh, block_n: int | None = None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, w_hh)
-    return (ys[:T], cs[:T]) if pad else (ys, cs)
+    return ys[:T, :N0], cs[:T, :N0]
 
 
 def _make_bwd_kernel(unroll: int):
@@ -443,8 +481,15 @@ def _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp, w_hh,
     working set fits the ~16MB VMEM budget (it does at BN=128/H=768 with
     bf16 cell residuals; f32 residuals sit right at the edge, so they
     run unrolled only below BN=128)."""
-    T, N, H4 = xp.shape
+    T, N0, H4 = xp.shape
     H = H4 // 4
+    npad = 0 if block_n else _batch_pad_rows(N0)
+    if npad:
+        # zero batch rows are inert in the reverse recursion (zero dy +
+        # zero carries stay zero) and are sliced back off below
+        dys, ys_prev, cs_prev, cs, xp = (
+            _pad_rows(a, npad) for a in (dys, ys_prev, cs_prev, cs, xp))
+    N = N0 + npad
     # W resident (4.5MB at H=768) + cell residual blocks: BN=128 keeps
     # the double-buffered working set inside the 16MB VMEM budget
     BN = block_n or _auto_block_n(N, cap=128)
@@ -486,7 +531,7 @@ def _pallas_bwd_dxp(dys, ys_prev, cs_prev, cs, xp, w_hh,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(dys, ys_prev, cs_prev, cs, xp, w_hh)
-    return out[:T] if pad else out
+    return out[:T, :N0]
 
 
 @jax.custom_vjp
